@@ -1,0 +1,157 @@
+"""The fused inference engine.
+
+Contrast with the reference (inference.py:50-129), which reloads the 124 MB
+checkpoint from disk on *every* call, runs eager torch, and post-processes in
+host numpy. Here the model is loaded ONCE, BN is folded into conv weights,
+and preprocess→forward→sigmoid→threshold→bbox is a single jitted XLA graph;
+only the final variable-size crop slice touches the host (XLA needs static
+shapes; crops are arbitrary rectangles of the original photo).
+
+Two modes:
+- parity (fp32 + host PIL resize): masks match the torch reference bit-for-bit
+  at the thresholds (BASELINE config 1)
+- serving (bf16 + device resize): the throughput path (BASELINE config 2)
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from twinvoice_tpu import FIELDS
+from twinvoice_tpu.config import InferConfig, UNetConfig
+from twinvoice_tpu.models.unet import fold_unet, unet_apply_folded
+from twinvoice_tpu.ops.image import resize_bilinear
+from twinvoice_tpu.infer.postprocess import bbox_from_probs, scale_and_pad_boxes
+
+
+class Segmenter:
+    """Field segmenter holding a BN-folded U-Net and its compiled graphs."""
+
+    def __init__(
+        self,
+        params,
+        state,
+        model_cfg: UNetConfig = UNetConfig(),
+        cfg: InferConfig = InferConfig(),
+        dtype=jnp.float32,
+    ):
+        self.cfg = cfg
+        self.model_cfg = model_cfg
+        self.dtype = dtype
+        self.folded = fold_unet(params, state, cfg=model_cfg, dtype=dtype)
+        self._thr = jnp.asarray(cfg.thresholds, jnp.float32)
+
+        size = cfg.img_size
+
+        @jax.jit
+        def _run(folded, imgs_u8, orig_sizes):
+            """imgs_u8: (B, size, size, 3) uint8; orig_sizes: (B, 2) int32 (ow, oh)."""
+            x = imgs_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+            logits = unet_apply_folded(folded, x)
+            prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            def post(p, osz):
+                gboxes, valid = bbox_from_probs(p, self._thr)
+                boxes, ok = scale_and_pad_boxes(gboxes, valid, osz, size, cfg.pad_frac)
+                return boxes, ok
+
+            boxes, ok = jax.vmap(post)(prob, orig_sizes)
+            mask = prob > self._thr
+            return mask, boxes, ok
+
+        @jax.jit
+        def _run_from_raw(folded, raw_u8, orig_sizes):
+            """Device resize variant: raw_u8 (B, H, W, 3) uint8 any fixed H,W."""
+            x = resize_bilinear(raw_u8.astype(jnp.float32), size, size)
+            x = (x / 255.0).astype(dtype)
+            logits = unet_apply_folded(folded, x)
+            prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            def post(p, osz):
+                gboxes, valid = bbox_from_probs(p, self._thr)
+                boxes, ok = scale_and_pad_boxes(gboxes, valid, osz, size, cfg.pad_frac)
+                return boxes, ok
+
+            boxes, ok = jax.vmap(post)(prob, orig_sizes)
+            mask = prob > self._thr
+            return mask, boxes, ok
+
+        self._run = _run
+        self._run_from_raw = _run_from_raw
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_pth(cls, path, model_cfg=UNetConfig(), cfg=InferConfig(), dtype=jnp.float32):
+        from twinvoice_tpu.port import load_pth
+
+        params, state = load_pth(path, model_cfg)
+        return cls(params, state, model_cfg, cfg, dtype)
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_dir, model_cfg=UNetConfig(), cfg=InferConfig(), dtype=jnp.float32):
+        from twinvoice_tpu.train.checkpoint import restore_params
+
+        params, state = restore_params(ckpt_dir, model_cfg)
+        return cls(params, state, model_cfg, cfg, dtype)
+
+    # -- batch API (throughput path) ---------------------------------------
+
+    def segment_batch(self, imgs_u8, orig_sizes=None, *, pre_resized=True):
+        """Batched device path.
+
+        ``imgs_u8``: uint8 (B, H, W, 3); if ``pre_resized`` H=W=img_size.
+        ``orig_sizes``: (B, 2) int32 (ow, oh); defaults to input size.
+        Returns (mask (B,S,S,3) bool, boxes (B,3,4) int32, valid (B,3) bool).
+        """
+        imgs_u8 = jnp.asarray(imgs_u8)
+        if orig_sizes is None:
+            b = imgs_u8.shape[0]
+            orig_sizes = jnp.tile(
+                jnp.asarray([[imgs_u8.shape[2], imgs_u8.shape[1]]], jnp.int32), (b, 1)
+            )
+        else:
+            orig_sizes = jnp.asarray(orig_sizes, jnp.int32)
+        fn = self._run if pre_resized else self._run_from_raw
+        return fn(self.folded, imgs_u8, orig_sizes)
+
+    # -- single-image PIL API (reference-parity surface) -------------------
+
+    def segment_pil(self, pil_img):
+        """Drop-in equivalent of the reference ``run_unet`` contract:
+        returns ``(masks: dict[field, bool (S,S)], crops: dict[field, PIL|None])``.
+
+        Resize is done on host with PIL to reproduce the reference's resize
+        convention exactly (inference.py:63); the model + postprocess run as
+        one jitted graph.
+        """
+        size = self.cfg.img_size
+        ow, oh = pil_img.size
+        # reference does resize twice (inference.py:63 then :35); idempotent
+        small = pil_img.convert("RGB").resize((size, size))
+        arr = np.asarray(small, np.uint8)[None]
+        sizes = np.asarray([[ow, oh]], np.int32)
+        mask, boxes, ok = self._run(self.folded, jnp.asarray(arr), jnp.asarray(sizes))
+        mask = np.asarray(mask[0])
+        boxes = np.asarray(boxes[0])
+        ok = np.asarray(ok[0])
+
+        masks = {f: mask[:, :, i] for i, f in enumerate(FIELDS)}
+        crops = {}
+        for i, f in enumerate(FIELDS):
+            if not ok[i]:
+                crops[f] = None
+                continue
+            x1, y1, x2, y2 = (int(v) for v in boxes[i])
+            crop = pil_img.crop((x1, y1, x2, y2))
+            carr = np.asarray(crop)
+            if carr.size == 0 or carr.mean() < self.cfg.black_crop_mean:
+                crops[f] = None  # all-black rejection (inference.py:122-124)
+                continue
+            crops[f] = crop
+        return masks, crops

@@ -1,0 +1,126 @@
+"""Convolution / pooling ops, NHWC + HWIO, exact parity with the reference ops.
+
+Reference ops being matched (behavior, not implementation):
+- ``nn.Conv2d(k=3, padding=1)`` / ``nn.Conv2d(k=1)`` — unet_model.py:10,14,50
+- ``nn.ConvTranspose2d(k=2, stride=2)`` — unet_model.py:38,41,44,47
+- ``nn.MaxPool2d(2)`` — unet_model.py:34
+
+Design notes (TPU-first):
+- NHWC activations + HWIO kernels are XLA-TPU's native conv layout; XLA lowers
+  these onto the MXU directly and fuses the bias add + following elementwise
+  ops (BN/ReLU) into the conv epilogue.
+- The k=2,s=2 transpose conv has non-overlapping output windows, so instead of
+  ``lax.conv_transpose`` (which lowers to a dilated conv) it is expressed as a
+  single dense matmul + reshape — one big MXU op with zero wasted work, and
+  bit-exact torch ``ConvTranspose2d`` semantics for free.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def conv2d(x, kernel, bias=None, *, padding="SAME", accum_dtype=jnp.float32):
+    """General NHWC conv. ``kernel``: (kH,kW,Cin,Cout)."""
+    y = lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1, 1),
+        padding=padding,
+        dimension_numbers=_DN,
+        preferred_element_type=accum_dtype,
+    )
+    y = y.astype(x.dtype)
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def conv3x3(x, p, **kw):
+    """3×3 stride-1 pad-1 conv; ``p = {'kernel': (3,3,Ci,Co), 'bias': (Co,)}``."""
+    return conv2d(x, p["kernel"], p.get("bias"), padding=((1, 1), (1, 1)), **kw)
+
+
+def conv1x1(x, p, **kw):
+    """1×1 conv; ``p = {'kernel': (1,1,Ci,Co), 'bias': (Co,)}``."""
+    return conv2d(x, p["kernel"], p.get("bias"), padding="VALID", **kw)
+
+
+def conv_transpose2x2(x, p, *, accum_dtype=jnp.float32):
+    """Transpose conv, kernel 2 stride 2, exact torch ``ConvTranspose2d`` math.
+
+    ``p['kernel']`` has shape (2,2,Cin,Cout) where
+    ``out[n, 2i+a, 2j+b, o] = sum_c x[n,i,j,c] * K[a,b,c,o] + bias[o]``
+    (the torch weight (Cin,Cout,2,2) ports via ``w.transpose(2,3,0,1)``).
+
+    With k == s the output windows don't overlap, so this is one matmul:
+    (N·H·W, Cin) @ (Cin, 2·2·Cout), then a reshape/transpose into (N,2H,2W,Cout).
+    """
+    k = p["kernel"]
+    n, h, w, ci = x.shape
+    kh, kw, kci, co = k.shape
+    assert (kh, kw) == (2, 2) and kci == ci, (k.shape, x.shape)
+    # (Cin, a, b, Cout) -> (Cin, a*b*Cout)
+    kmat = jnp.transpose(k, (2, 0, 1, 3)).reshape(ci, kh * kw * co)
+    y = jnp.dot(
+        x.reshape(n * h * w, ci), kmat, preferred_element_type=accum_dtype
+    ).astype(x.dtype)
+    y = y.reshape(n, h, w, kh, kw, co)
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, h * kh, w * kw, co)
+    bias = p.get("bias")
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    return y
+
+
+def max_pool2(x):
+    """2×2 stride-2 max pool (floor mode, as torch ``MaxPool2d(2)``)."""
+    return lax.reduce_window(
+        x,
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        lax.max,
+        window_dimensions=(1, 2, 2, 1),
+        window_strides=(1, 2, 2, 1),
+        padding="VALID",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Initializers — match torch Conv2d/ConvTranspose2d default init distributions
+# (kaiming_uniform(a=√5) ⇒ U(−1/√fan_in, 1/√fan_in) for weight and bias),
+# so training-from-scratch behaves like the reference.
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key, shape, bound, dtype):
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def init_conv(key, kh, kw, cin, cout, *, dtype=jnp.float32, bias_init=None):
+    fan_in = cin * kh * kw
+    bound = 1.0 / math.sqrt(fan_in)
+    kkey, bkey = jax.random.split(key)
+    kernel = _uniform(kkey, (kh, kw, cin, cout), bound, dtype)
+    if bias_init is None:
+        bias = _uniform(bkey, (cout,), bound, dtype)
+    else:
+        bias = jnp.full((cout,), bias_init, dtype)
+    return {"kernel": kernel, "bias": bias}
+
+
+def init_conv_transpose(key, cin, cout, *, dtype=jnp.float32):
+    # torch fan_in for ConvTranspose2d(Cin,Cout,2,2) is Cout*k*k (weight dim 1)
+    fan_in = cout * 2 * 2
+    bound = 1.0 / math.sqrt(fan_in)
+    kkey, bkey = jax.random.split(key)
+    return {
+        "kernel": _uniform(kkey, (2, 2, cin, cout), bound, dtype),
+        "bias": _uniform(bkey, (cout,), bound, dtype),
+    }

@@ -1,0 +1,62 @@
+"""BatchNorm (train + inference) with exact torch ``BatchNorm2d`` semantics,
+plus inference-time folding of BN into the preceding conv.
+
+torch semantics matched (unet_model.py:11,15):
+- eps=1e-5, momentum=0.1, affine, track_running_stats
+- train: normalize with *biased* batch var; update running stats with the
+  *unbiased* var (Bessel n/(n−1)); running = (1−m)·running + m·batch
+- eval: normalize with running stats
+
+Folding: at inference BN is an affine map per channel, so it disappears into
+the conv weights entirely (``fold_batchnorm_into_conv``) — the served graph is
+conv+ReLU only, letting XLA fuse the whole DoubleConv epilogue on-chip.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def init_batchnorm(c, *, dtype=jnp.float32):
+    params = {"scale": jnp.ones((c,), dtype), "bias": jnp.zeros((c,), dtype)}
+    state = {"mean": jnp.zeros((c,), dtype), "var": jnp.ones((c,), dtype)}
+    return params, state
+
+
+def batchnorm_apply(x, params, state, *, train, momentum=0.1, eps=1e-5):
+    """Returns (y, new_state). ``x`` is NHWC; stats reduce over (N,H,W).
+
+    Under pjit with the batch/spatial dims sharded, the ``jnp.mean`` here
+    becomes a global (cross-replica) reduction automatically — i.e. free
+    SyncBatchNorm, strictly better than the reference's unsynced DP BN.
+    """
+    scale = params["scale"]
+    bias = params["bias"]
+    if train:
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2))
+        var = jnp.mean(jnp.square(x32), axis=(0, 1, 2)) - jnp.square(mean)
+        n = x.shape[0] * x.shape[1] * x.shape[2]
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = {
+            "mean": (1 - momentum) * state["mean"] + momentum * mean,
+            "var": (1 - momentum) * state["var"] + momentum * unbiased,
+        }
+    else:
+        mean, var = state["mean"], state["var"]
+        new_state = state
+    inv = (scale.astype(jnp.float32) / jnp.sqrt(var.astype(jnp.float32) + eps))
+    y = (x.astype(jnp.float32) - mean) * inv + bias.astype(jnp.float32)
+    return y.astype(x.dtype), new_state
+
+
+def fold_batchnorm_into_conv(conv_params, bn_params, bn_state, *, eps=1e-5):
+    """Fold eval-mode BN into the conv before it.
+
+    y = ((conv(x,W)+b) − μ)·γ/√(σ²+ε) + β
+      = conv(x, W·s) + (b−μ)·s + β      with s = γ/√(σ²+ε)  (per out-channel)
+    """
+    s = bn_params["scale"] / jnp.sqrt(bn_state["var"] + eps)
+    kernel = conv_params["kernel"] * s  # broadcasts over HWIO's O (last) dim
+    bias = (conv_params.get("bias", 0.0) - bn_state["mean"]) * s + bn_params["bias"]
+    return {"kernel": kernel, "bias": bias}
