@@ -1,0 +1,64 @@
+"""QR encoder tests: RS known vectors, capacity/version pick, and decode
+round-trips through the independent OpenCV decoder."""
+
+import numpy as np
+import pytest
+
+from twinvoice_tpu.qr.encode import (
+    encode_qr_matrix,
+    pick_version,
+    render_qr,
+    rs_encode,
+)
+from twinvoice_tpu.qr.detect import QrPipeline, opencv_decode
+
+
+def test_rs_known_vector():
+    # the classic v1-M example block
+    data = [0x10, 0x20, 0x0C, 0x56, 0x61, 0x80, 0xEC, 0x11,
+            0xEC, 0x11, 0xEC, 0x11, 0xEC, 0x11, 0xEC, 0x11]
+    assert rs_encode(data, 10) == [0xA5, 0x24, 0xD4, 0xC1, 0xED, 0x36, 0xC7, 0x87, 0x2C, 0x55]
+
+
+def test_pick_version():
+    assert pick_version(5, "M") == 1     # v1-M holds 16 bytes
+    assert pick_version(15, "M") == 2
+    assert pick_version(200, "M") == 10
+    with pytest.raises(ValueError):
+        pick_version(1000, "M")
+
+
+def test_matrix_structure():
+    m = encode_qr_matrix("short", version=1)
+    assert m.shape == (21, 21)
+    assert m[0, 0] and m[3, 3] and not m[1, 1]     # finder ring/core
+    assert m[21 - 8, 8]                            # dark module
+    m7 = encode_qr_matrix("x" * 100, level="L", version=7)
+    assert m7.shape == (45, 45)
+
+
+@pytest.mark.parametrize(
+    "payload,level,mask",
+    [
+        ("HELLO WORLD 1234567890", "M", 0),
+        ("AB123456781140909" + "X" * 40, "L", 3),
+        ("**珍珠奶茶:2:60:雞排:1:85:" + "Y" * 80, "M", 5),
+        ("Z" * 200, "M", 2),
+        ("short", "H", 7),
+    ],
+)
+def test_roundtrip_via_opencv(payload, level, mask):
+    img = render_qr(payload, module_px=6, level=level, mask=mask)
+    rgb = np.stack([img] * 3, axis=-1)
+    assert payload in opencv_decode(rgb)
+
+
+def test_pipeline_scans_rendered_invoice():
+    from twinvoice_tpu.data.synthetic import header_qr_payload, render_invoice
+
+    img, _ = render_invoice("AB12345678", "2025-09-09", 120,
+                            items=[{"name": "紅茶拿鐵", "qty": 2, "price": 60},
+                                   {"name": "火腿吐司", "qty": 1, "price": 45}])
+    payloads = QrPipeline(decoders=[opencv_decode]).scan(img)
+    assert any("AB12345678" in p for p in payloads)
+    assert any(p.startswith("**") for p in payloads)

@@ -1,0 +1,214 @@
+"""The field-fusion pipeline — the heart of the system (reference
+``extract_invoice_meta``, app_camera.py:736-878).
+
+Flow (behavior-compatible, engine-agnostic):
+
+1. optional auto-rotate of landscape photos by QR position (revived dead
+   feature, app_camera.py:655-684)
+2. QR scan → header parse (invoice_no + ROC date) + TEXT-QR line items
+3. U-Net segmentation → per-field crops (always runs: amount needs OCR)
+4. each configured OCR engine reads the 3 crops (mode="text" for
+   invoice_no/date, mode="amount" for total_amount — app_camera.py:800-811)
+5. merge with priority **QR > engines in configured order** and regex
+   re-validation; provenance recorded per field (source/date_source/
+   amount_source, app_camera.py:749-759)
+6. amount always comes from merged OCR (app_camera.py:869-872)
+7. optional items-to-total reconciliation (revived, app_camera.py:182-225)
+
+Results are memoized by image content hash (app_camera.py:105-111,741-744),
+on the extractor instance rather than UI session state.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from twinvoice_tpu import FIELDS
+from twinvoice_tpu.config import FusionConfig
+from twinvoice_tpu.fusion.amount import extract_amount
+from twinvoice_tpu.fusion.items import adjust_items_to_total
+from twinvoice_tpu.qr.parse import parse_header_qr, parse_items_qr
+
+_INVOICE_NO_RE = re.compile(r"[A-Z]{2}\d{8}")
+_OCR_DATE_RE = re.compile(r"(20\d{2})[/-](\d{2})[/-](\d{1,2})")
+
+_FIELD_MODES = {"invoice_no": "text", "date": "text", "total_amount": "amount"}
+
+
+def empty_meta() -> dict:
+    return {
+        "invoice_no": None,
+        "date": None,
+        "total_amount": None,
+        "source": "unknown",
+        "date_source": "unknown",
+        "amount_source": "unknown",
+        "qr_raw": [],
+    }
+
+
+# kept as a structured alias for typing call sites; the pipeline returns the
+# reference-shaped plain dict for drop-in compatibility
+@dataclass
+class InvoiceMeta:
+    invoice_no: Optional[str] = None
+    date: Optional[str] = None
+    total_amount: Optional[str] = None
+    source: str = "unknown"
+    date_source: str = "unknown"
+    amount_source: str = "unknown"
+    qr_raw: List[str] = field(default_factory=list)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "InvoiceMeta":
+        return cls(**{k: d.get(k, v) for k, v in cls().__dict__.items()})
+
+
+def image_content_key(pil_img) -> str:
+    return hashlib.md5(pil_img.tobytes()).hexdigest()
+
+
+def clean_invoice_candidate(text: str) -> Optional[str]:
+    """Uppercase, strip non-alphanumerics, then find AA######## inside."""
+    cleaned = re.sub(r"[^A-Za-z0-9]", "", text.upper())
+    m = _INVOICE_NO_RE.search(cleaned)
+    return m.group(0) if m else None
+
+
+def clean_date_candidate(text: str) -> Optional[str]:
+    """Find a western yyyy-mm-dd / yyyy/mm/d date inside OCR noise."""
+    cleaned = re.sub(r"[^0-9/:-]", "", text)
+    m = _OCR_DATE_RE.search(cleaned)
+    if not m:
+        return None
+    y, mm, dd = m.groups()
+    return f"{y}-{mm}-{dd.zfill(2)}"
+
+
+def auto_rotate_by_qr(pil_img, qr_regions_fn=None):
+    """Rotate landscape invoices upright using the QR's horizontal position
+    (QR sits at the bottom of a TW invoice). Returns the (possibly rotated)
+    image. Never rotates when no QR is found or the image is already portrait.
+    """
+    w, h = pil_img.size
+    if w <= h:
+        return pil_img
+    if qr_regions_fn is None:
+        import numpy as np
+
+        from twinvoice_tpu.qr.detect import detect_qr_regions
+
+        qr_regions_fn = lambda img: detect_qr_regions(np.asarray(img.convert("RGB")))
+    regions = qr_regions_fn(pil_img)
+    if not regions:
+        return pil_img
+    x1, _, x2, _ = regions[0]
+    cx = (x1 + x2) / 2
+    if cx < w * 0.4:
+        return pil_img.rotate(90, expand=True)
+    if cx > w * 0.6:
+        return pil_img.rotate(-90, expand=True)
+    return pil_img
+
+
+class InvoiceExtractor:
+    """Binds the segmenter, QR pipeline and OCR engines into one callable.
+
+    ``engines``: OCR engines in *priority order below QR* (the reference's
+    order is cloud OCR.space above local EasyOCR, app_camera.py:839-866).
+    """
+
+    def __init__(
+        self,
+        segmenter,
+        qr_pipeline=None,
+        engines: Sequence = (),
+        cfg: FusionConfig = FusionConfig(),
+    ):
+        self.segmenter = segmenter
+        self.qr = qr_pipeline
+        self.engines = list(engines)
+        self.cfg = cfg
+        self._cache: Dict[str, Tuple[dict, list, list]] = {}
+
+    def clear_cache(self):
+        self._cache.clear()
+
+    def extract(self, pil_img, qr_img=None) -> Tuple[dict, list, list]:
+        """Returns (meta dict, items list, raw QR payloads)."""
+        key = image_content_key(pil_img)
+        if key in self._cache:
+            return self._cache[key]
+
+        if self.cfg.auto_rotate:
+            pil_img = auto_rotate_by_qr(pil_img)
+
+        meta = empty_meta()
+
+        # -- QR ------------------------------------------------------------
+        qr_raw: List[str] = []
+        if self.cfg.use_qr and self.qr is not None:
+            qr_raw = self.qr.scan(qr_img or pil_img)
+        meta["qr_raw"] = qr_raw
+        qr_invoice, qr_date = parse_header_qr(qr_raw)
+        items = parse_items_qr(qr_raw)
+        if qr_invoice:
+            meta["invoice_no"] = qr_invoice
+            meta["source"] = "QR"
+        if qr_date:
+            meta["date"] = qr_date
+            meta["date_source"] = "QR"
+
+        # -- segmentation (always: amount requires OCR on its crop) --------
+        _, crops = self.segmenter.segment_pil(pil_img)
+
+        # -- OCR engines over the 3 field crops ----------------------------
+        # readings[field] = [engine0_text, engine1_text, ...] in priority order
+        readings: Dict[str, List[str]] = {f: [] for f in FIELDS}
+        for engine in self.engines:
+            for fieldname in FIELDS:
+                crop = crops.get(fieldname)
+                if crop is None:
+                    readings[fieldname].append("")
+                    continue
+                readings[fieldname].append(
+                    engine.read(crop, mode=_FIELD_MODES[fieldname]).text
+                )
+
+        # -- merge: invoice number (QR already won if present) -------------
+        if not meta["invoice_no"]:
+            for text in readings["invoice_no"]:
+                cand = clean_invoice_candidate(text) if text else None
+                if cand:
+                    meta["invoice_no"] = cand
+                    meta["source"] = "merged_ocr"
+                    break
+
+        # -- merge: date ---------------------------------------------------
+        if not meta["date"]:
+            for text in readings["date"]:
+                cand = clean_date_candidate(text) if text else None
+                if cand:
+                    meta["date"] = cand
+                    meta["date_source"] = "merged_ocr"
+                    break
+
+        # -- amount: always merged OCR ------------------------------------
+        meta["total_amount"] = extract_amount(*readings["total_amount"])
+        meta["amount_source"] = "merged_ocr"
+
+        # -- revived feature: reconcile items to the recognized total ------
+        if self.cfg.adjust_items_to_total and items:
+            try:
+                total = int(meta["total_amount"])
+            except (TypeError, ValueError):
+                total = 0
+            if total > 0:
+                items = adjust_items_to_total(items, total)
+
+        result = (meta, items, qr_raw)
+        self._cache[key] = result
+        return result

@@ -1,0 +1,154 @@
+"""QR detection + decode pipeline.
+
+Reference pipeline (app_camera.py:328-365, 510-547): locate QR candidates
+with OpenCV's detector, crop, enhance (histogram equalization + 3× cubic
+upscale), then decode each candidate with ZXing via a Java subprocess and
+temp PNG files, falling back to a 2×-upscaled full-image scan; keep decoded
+strings longer than 20 chars.
+
+Here decode is a pluggable protocol with three backends, no subprocess and
+no temp files:
+  1. ``native`` — our from-scratch C++ QR decoder (twinvoice_tpu.qr.native)
+  2. ``opencv`` — cv2.QRCodeDetector detectAndDecode
+  3. any callable ``ndarray -> list[str]`` (tests use canned fakes)
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+QrDecodeFn = Callable[[np.ndarray], List[str]]
+
+MIN_PAYLOAD_LEN = 20  # reference keeps only >20-char strings (app_camera.py:542)
+
+
+def detect_qr_regions(rgb: np.ndarray) -> List[Tuple[int, int, int, int]]:
+    """Locate likely QR bounding boxes (x1, y1, x2, y2) in an RGB array."""
+    import cv2
+
+    gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+    boxes = []
+    detector = cv2.QRCodeDetector()
+    try:
+        ok, points = detector.detectMulti(gray)
+    except cv2.error:
+        ok, points = False, None
+    if not ok or points is None:
+        try:
+            ok1, pts1 = detector.detect(gray)
+            points = pts1[None] if ok1 and pts1 is not None else None
+        except cv2.error:
+            points = None
+    if points is None:
+        return boxes
+    for quad in points:
+        q = np.asarray(quad).reshape(-1, 2)
+        x1, y1 = q.min(axis=0)
+        x2, y2 = q.max(axis=0)
+        if x2 > x1 and y2 > y1:
+            boxes.append((int(x1), int(y1), int(x2), int(y2)))
+    return boxes
+
+
+def enhance_qr_region(rgb_crop: np.ndarray, upscale: int = 3) -> np.ndarray:
+    """Contrast-equalize and upsample a QR crop (app_camera.py:351-365 behavior)."""
+    import cv2
+
+    gray = cv2.cvtColor(rgb_crop, cv2.COLOR_RGB2GRAY)
+    gray = cv2.equalizeHist(gray)
+    gray = cv2.resize(gray, None, fx=upscale, fy=upscale, interpolation=cv2.INTER_CUBIC)
+    return cv2.cvtColor(gray, cv2.COLOR_GRAY2RGB)
+
+
+def opencv_decode(rgb: np.ndarray) -> List[str]:
+    """Decode backend built on cv2.QRCodeDetector (multi + single)."""
+    import cv2
+
+    gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY) if rgb.ndim == 3 else rgb
+    det = cv2.QRCodeDetector()
+    out: List[str] = []
+    try:
+        ok, texts, _, _ = det.detectAndDecodeMulti(gray)
+        if ok:
+            out.extend(t for t in texts if t)
+    except cv2.error:
+        pass
+    if not out:
+        try:
+            text, _, _ = det.detectAndDecode(gray)
+            if text:
+                out.append(text)
+        except cv2.error:
+            pass
+    return out
+
+
+def native_decode(rgb: np.ndarray) -> List[str]:
+    """Decode backend using the in-repo C++ decoder; empty list if unbuilt."""
+    try:
+        from twinvoice_tpu.qr.native import decode as _dec
+
+        return _dec(rgb)
+    except Exception:
+        return []
+
+
+def default_decoders() -> List[QrDecodeFn]:
+    return [native_decode, opencv_decode]
+
+
+class QrPipeline:
+    """Full-image QR scan: detect regions → enhance → decode; fall back to an
+    upscaled full-image pass when no region is found."""
+
+    def __init__(self, decoders: Optional[Sequence[QrDecodeFn]] = None,
+                 min_len: int = MIN_PAYLOAD_LEN):
+        self.decoders = list(decoders) if decoders is not None else default_decoders()
+        self.min_len = min_len
+
+    def _decode_all(self, arr: np.ndarray) -> List[str]:
+        out: List[str] = []
+        for dec in self.decoders:
+            try:
+                out.extend(dec(arr))
+            except Exception:
+                continue
+            if out:
+                break  # first backend that reads anything wins
+        return out
+
+    def scan(self, image) -> List[str]:
+        """``image``: PIL.Image or RGB ndarray → unique payloads ≥ min_len.
+
+        Scans detected regions, the full frame, and (because a TW invoice
+        carries TWO side-by-side QRs that multi-detectors often half-miss)
+        the left/right halves as separate tiles.
+        """
+        import cv2
+
+        rgb = np.asarray(image.convert("RGB") if hasattr(image, "convert") else image)
+        candidates = []
+        for (x1, y1, x2, y2) in detect_qr_regions(rgb):
+            candidates.append(enhance_qr_region(rgb[y1:y2, x1:x2]))
+        candidates.append(rgb)
+        w = rgb.shape[1]
+        candidates.append(rgb[:, : w // 2])
+        candidates.append(rgb[:, w // 2 :])
+        if not candidates[0:1]:  # pragma: no cover - defensive
+            candidates.append(rgb)
+
+        found: List[str] = []
+
+        def absorb(arr):
+            for txt in self._decode_all(arr):
+                txt = txt.strip()
+                if len(txt) >= self.min_len and txt not in found:
+                    found.append(txt)
+
+        for arr in candidates:
+            absorb(arr)
+        if not found:  # last resort: 2× upscale of the full frame
+            absorb(cv2.resize(rgb, None, fx=2, fy=2, interpolation=cv2.INTER_LINEAR))
+        return found

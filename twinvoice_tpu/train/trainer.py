@@ -1,0 +1,193 @@
+"""Training loop: AdamW + cosine warm restarts, data-parallel over the mesh.
+
+Reference behavior being matched (train.py:93-166): global batch 4, 50
+epochs, AdamW(lr=1e-3, wd=1e-4), CosineAnnealingWarmRestarts(T_0=10,
+T_mult=2) stepped per epoch, loss = 0.85·dice + 0.15·focal, best checkpoint
+on lowest average *training* loss, first-batch visual dump per epoch.
+
+TPU-first differences:
+- one jitted ``train_step`` (fwd+bwd+update fused by XLA) instead of eager
+  per-op dispatch; donated arguments so params/opt state update in place
+- the global batch is sharded over the mesh 'data' axis; grad psum is
+  inserted by XLA from the shardings — no hand-written collectives
+- BatchNorm batch stats become *global* batch stats under pjit (free
+  SyncBN — strictly better than the reference's single-device BN)
+- additions the reference lacks (SURVEY.md §5): optional val split + IoU
+  metric, checkpoint resume (params+opt+epoch+rng), structured history.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from twinvoice_tpu.config import Config, TrainConfig, UNetConfig
+from twinvoice_tpu.core.mesh import batch_sharding, make_mesh, param_shardings
+from twinvoice_tpu.models.unet import init_unet, unet_apply
+from twinvoice_tpu.train.losses import invoice_loss
+from twinvoice_tpu.train.metrics import per_class_iou
+from twinvoice_tpu.train.schedule import cosine_warm_restarts
+
+
+@dataclass
+class TrainState:
+    params: Any
+    bn_state: Any
+    opt_state: Any
+    epoch: int = 0          # completed epochs
+    best_loss: float = float("inf")
+
+
+def make_optimizer(cfg: TrainConfig):
+    """AdamW with an injectable learning rate (held constant within an epoch,
+    as the reference's per-epoch scheduler stepping does)."""
+    return optax.inject_hyperparams(optax.adamw)(
+        learning_rate=cfg.lr, weight_decay=cfg.weight_decay
+    )
+
+
+def make_train_step(model_cfg: UNetConfig, cfg: TrainConfig, optimizer, mesh=None):
+    """Build the jitted train step.
+
+    signature: (params, bn_state, opt_state, images, masks, lr)
+             → (params, bn_state, opt_state, loss)
+    """
+
+    def step(params, bn_state, opt_state, images, masks, lr):
+        def loss_fn(p):
+            logits, new_bn = unet_apply(p, bn_state, images, cfg=model_cfg, train=True)
+            return invoice_loss(logits, masks, cfg.loss), new_bn
+
+        (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        opt_state.hyperparams["learning_rate"] = lr
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bn, opt_state, loss
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0, 1, 2))
+
+    repl = NamedSharding(mesh, P())
+    data = batch_sharding(mesh)
+    # Params/opt-state shardings travel with the arrays themselves (placed by
+    # `shard_train_state`); only the per-call inputs are pinned here. XLA
+    # derives the grad psum over 'data' and any 'model'/'spatial' collectives
+    # from these annotations.
+    return jax.jit(
+        step,
+        in_shardings=(None, None, None, data, data, repl),
+        donate_argnums=(0, 1, 2),
+    )
+
+
+def shard_train_state(state: "TrainState", mesh):
+    """Place params/bn/opt on the mesh (channel-sharded over 'model' if >1)."""
+    ps = param_shardings(mesh, state.params)
+    state.params = jax.device_put(state.params, ps)
+    state.bn_state = jax.device_put(
+        state.bn_state, param_shardings(mesh, state.bn_state)
+    )
+    # opt_state moments mirror param shapes, so the same shape-based rule
+    # shards them consistently; scalars land replicated.
+    state.opt_state = jax.device_put(
+        state.opt_state, param_shardings(mesh, state.opt_state)
+    )
+    return state
+
+
+def make_eval_step(model_cfg: UNetConfig, cfg: TrainConfig, thresholds=(0.25, 0.40, 0.30)):
+    @jax.jit
+    def step(params, bn_state, images, masks):
+        logits, _ = unet_apply(params, bn_state, images, cfg=model_cfg, train=False)
+        loss = invoice_loss(logits, masks, cfg.loss)
+        prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+        iou = per_class_iou(prob > jnp.asarray(thresholds), masks > 0.5)
+        return loss, iou
+
+    return step
+
+
+def fit(
+    dataset,
+    cfg: Config = Config(),
+    *,
+    mesh=None,
+    resume_dir: Optional[str] = None,
+    log: Callable[[str], None] = print,
+    on_epoch_end: Optional[Callable] = None,
+):
+    """Full training run. ``dataset`` is a ``data.dataset.ArrayDataset``.
+
+    Returns (state: TrainState, history: list[dict]).
+    """
+    tcfg, mcfg = cfg.train, cfg.model
+    key = jax.random.key(tcfg.seed)
+    key, init_key = jax.random.split(key)
+    dtype = jnp.bfloat16 if tcfg.dtype == "bfloat16" else jnp.float32
+
+    params, bn_state = init_unet(init_key, mcfg)
+    optimizer = make_optimizer(tcfg)
+    opt_state = optimizer.init(params)
+    state = TrainState(params, bn_state, opt_state)
+
+    from twinvoice_tpu.train import checkpoint as ckpt
+
+    if resume_dir and ckpt.has_checkpoint(resume_dir):
+        state = ckpt.restore(resume_dir, state)
+        log(f"resumed from {resume_dir} at epoch {state.epoch}")
+
+    train_step = make_train_step(mcfg, tcfg, optimizer, mesh=mesh)
+    schedule = cosine_warm_restarts(
+        tcfg.lr, tcfg.warm_restart_t0, tcfg.warm_restart_tmult, tcfg.eta_min
+    )
+
+    history = []
+    loader_rng = np.random.default_rng(tcfg.seed)
+    os.makedirs(tcfg.checkpoint_dir, exist_ok=True)
+
+    for epoch in range(state.epoch + 1, tcfg.epochs + 1):
+        t0 = time.time()
+        total, nb = 0.0, 0
+        lr = jnp.asarray(schedule(epoch - 1), jnp.float32)
+        for bi, (images, masks) in enumerate(
+            dataset.batches(tcfg.batch_size, rng=loader_rng, dtype=np.float32)
+        ):
+            images = jnp.asarray(images, dtype)
+            masks = jnp.asarray(masks, dtype)
+            state.params, state.bn_state, state.opt_state, loss = train_step(
+                state.params, state.bn_state, state.opt_state, images, masks, lr
+            )
+            total += float(loss)
+            nb += 1
+            if bi == 0 and tcfg.visualize:
+                from twinvoice_tpu.train.visualize import dump_epoch_visual
+
+                dump_epoch_visual(
+                    np.asarray(images[0], np.float32),
+                    np.asarray(masks[0], np.float32),
+                    state.params, state.bn_state, mcfg,
+                    tcfg.visualize_dir, f"epoch{epoch:03d}",
+                )
+        avg = total / max(nb, 1)
+        state.epoch = epoch
+        rec = {"epoch": epoch, "loss": avg, "lr": float(lr), "sec": time.time() - t0}
+        history.append(rec)
+        log(f"epoch {epoch} | loss {avg:.6f} | lr {float(lr):.2e} | {rec['sec']:.1f}s")
+
+        if avg < state.best_loss:
+            state.best_loss = avg
+            ckpt.save(os.path.join(tcfg.checkpoint_dir, "best"), state)
+        ckpt.save(os.path.join(tcfg.checkpoint_dir, "latest"), state)
+        if on_epoch_end:
+            on_epoch_end(state, rec)
+
+    return state, history
