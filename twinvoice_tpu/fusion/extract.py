@@ -31,6 +31,8 @@ from twinvoice_tpu.config import FusionConfig
 from twinvoice_tpu.fusion.amount import extract_amount
 from twinvoice_tpu.fusion.items import adjust_items_to_total
 from twinvoice_tpu.qr.parse import parse_header_qr, parse_items_qr
+from twinvoice_tpu.utils.errors import FailureLog
+from twinvoice_tpu.utils.tracing import trace_span
 
 _INVOICE_NO_RE = re.compile(r"[A-Z]{2}\d{8}")
 _OCR_DATE_RE = re.compile(r"(20\d{2})[/-](\d{2})[/-](\d{1,2})")
@@ -47,6 +49,9 @@ def empty_meta() -> dict:
         "date_source": "unknown",
         "amount_source": "unknown",
         "qr_raw": [],
+        # structured failure provenance (absent in the reference, which
+        # swallows errors silently — SURVEY.md §5 failure detection)
+        "failures": [],
     }
 
 
@@ -143,15 +148,18 @@ class InvoiceExtractor:
         if key in self._cache:
             return self._cache[key]
 
-        if self.cfg.auto_rotate:
-            pil_img = auto_rotate_by_qr(pil_img)
-
         meta = empty_meta()
+        log = FailureLog()
+
+        if self.cfg.auto_rotate:
+            with trace_span("fusion.autorotate"):
+                pil_img = log.guarded("qr", auto_rotate_by_qr, pil_img, default=pil_img)
 
         # -- QR ------------------------------------------------------------
         qr_raw: List[str] = []
         if self.cfg.use_qr and self.qr is not None:
-            qr_raw = self.qr.scan(qr_img or pil_img)
+            with trace_span("fusion.qr_scan"):
+                qr_raw = log.guarded("qr", self.qr.scan, qr_img or pil_img, default=[])
         meta["qr_raw"] = qr_raw
         qr_invoice, qr_date = parse_header_qr(qr_raw)
         items = parse_items_qr(qr_raw)
@@ -163,20 +171,25 @@ class InvoiceExtractor:
             meta["date_source"] = "QR"
 
         # -- segmentation (always: amount requires OCR on its crop) --------
-        _, crops = self.segmenter.segment_pil(pil_img)
+        with trace_span("fusion.segment"):
+            _, crops = log.guarded(
+                "segment", self.segmenter.segment_pil, pil_img, default=({}, {})
+            )
 
         # -- OCR engines over the 3 field crops ----------------------------
         # readings[field] = [engine0_text, engine1_text, ...] in priority order
         readings: Dict[str, List[str]] = {f: [] for f in FIELDS}
-        for engine in self.engines:
-            for fieldname in FIELDS:
-                crop = crops.get(fieldname)
-                if crop is None:
-                    readings[fieldname].append("")
-                    continue
-                readings[fieldname].append(
-                    engine.read(crop, mode=_FIELD_MODES[fieldname]).text
-                )
+        with trace_span("fusion.ocr"):
+            for engine in self.engines:
+                for fieldname in FIELDS:
+                    crop = crops.get(fieldname)
+                    if crop is None:
+                        readings[fieldname].append("")
+                        continue
+                    result = log.guarded(
+                        "ocr", engine.read, crop, mode=_FIELD_MODES[fieldname]
+                    )
+                    readings[fieldname].append(result.text if result else "")
 
         # -- merge: invoice number (QR already won if present) -------------
         if not meta["invoice_no"]:
@@ -209,6 +222,7 @@ class InvoiceExtractor:
             if total > 0:
                 items = adjust_items_to_total(items, total)
 
+        meta["failures"] = log.as_dicts()
         result = (meta, items, qr_raw)
         self._cache[key] = result
         return result

@@ -1,0 +1,113 @@
+"""Synthetic text-line generator for training/evaluating the recognizer.
+
+Renders invoice-field-like strings (invoice numbers, dates, amounts, mixed
+alphanumerics) with the DejaVu font family at varied sizes, then applies
+camera-ish augmentations: contrast/brightness jitter, slight rotation,
+gaussian noise, blur, polarity inversion and random padding. Everything is
+derived from a numpy Generator so batches are reproducible.
+"""
+
+from __future__ import annotations
+
+import glob
+from functools import lru_cache
+from typing import List, Tuple
+
+import numpy as np
+
+from twinvoice_tpu.ocr.jaxocr.charset import CHARSET, encode_text
+from twinvoice_tpu.ocr.jaxocr.model import IMG_H, IMG_W
+
+MAX_LABEL = 24
+
+_FONT_PATHS = sorted(glob.glob("/usr/share/fonts/truetype/dejavu/*.ttf"))
+
+
+@lru_cache(maxsize=64)
+def _font(path, size):
+    from PIL import ImageFont
+
+    return ImageFont.truetype(path, size)
+
+
+def random_field_text(rng: np.random.Generator) -> str:
+    """Sample a string shaped like one of the three invoice fields."""
+    kind = rng.integers(0, 5)
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+    if kind == 0:  # invoice number, possibly hyphenated
+        no = "".join(rng.choice(list(letters), 2)) + "".join(
+            rng.choice(list("0123456789"), 8)
+        )
+        return no if rng.random() < 0.5 else no[:2] + "-" + no[2:]
+    if kind == 1:  # western date
+        sep = rng.choice(["-", "/", "."])
+        return f"{rng.integers(2018, 2031)}{sep}{rng.integers(1, 13):02d}{sep}{rng.integers(1, 29):02d}"
+    if kind == 2:  # ROC-style date digits
+        return f"{rng.integers(100, 130)}/{rng.integers(1, 13):02d}/{rng.integers(1, 29):02d}"
+    if kind == 3:  # amount
+        amount = int(10 ** rng.uniform(0.5, 5))
+        s = f"{amount:,}" if rng.random() < 0.4 else str(amount)
+        prefix = rng.choice(["", "$", "NT$", "TX ", "TOTAL "])
+        return f"{prefix}{s}"
+    n = int(rng.integers(3, 14))  # generic alphanumeric
+    return "".join(rng.choice(list(CHARSET.strip() + "  "), n)).strip() or "X"
+
+
+def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
+    """Render text → uint8 grayscale (IMG_H, IMG_W), dark text on light bg."""
+    from PIL import Image, ImageDraw
+
+    size = int(rng.integers(18, 30))
+    font = _font(_FONT_PATHS[int(rng.integers(0, len(_FONT_PATHS)))], size)
+    pad = 8
+    canvas = Image.new("L", (IMG_W * 2, IMG_H * 2), 255)
+    draw = ImageDraw.Draw(canvas)
+    draw.text((pad, pad), text, fill=int(rng.integers(0, 80)), font=font)
+    arr = np.asarray(canvas)
+    ys, xs = np.where(arr < 250)
+    if len(xs) == 0:
+        return np.full((IMG_H, IMG_W), 255, np.uint8)
+    x0, x1 = xs.min(), xs.max() + 1
+    y0, y1 = ys.min(), ys.max() + 1
+    crop = Image.fromarray(arr[y0:y1, x0:x1])
+
+    if rng.random() < 0.3:
+        crop = crop.rotate(float(rng.uniform(-2.5, 2.5)), expand=True, fillcolor=255)
+
+    # fit into target while keeping aspect; random horizontal placement
+    w, h = crop.size
+    scale = min((IMG_H - 4) / h, (IMG_W - 4) / w)
+    crop = crop.resize((max(1, int(w * scale)), max(1, int(h * scale))))
+    out = Image.new("L", (IMG_W, IMG_H), 255)
+    max_x = IMG_W - crop.size[0]
+    ox = int(rng.integers(0, max(1, max_x // 3)))
+    oy = (IMG_H - crop.size[1]) // 2
+    out.paste(crop, (ox, oy))
+    img = np.asarray(out, np.float32)
+
+    # photometric augmentation
+    img = img * float(rng.uniform(0.7, 1.0)) + float(rng.uniform(0, 60))
+    if rng.random() < 0.5:
+        img = img + rng.normal(0, rng.uniform(2, 12), img.shape)
+    if rng.random() < 0.3:  # cheap 2x2 box blur
+        img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1) + np.roll(np.roll(img, 1, 0), 1, 1)) / 4
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def make_batch(batch_size: int, rng: np.random.Generator):
+    """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts)."""
+    imgs = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
+    labels = np.zeros((batch_size, MAX_LABEL), np.int32)
+    pad = np.ones((batch_size, MAX_LABEL), np.float32)
+    texts: List[str] = []
+    for i in range(batch_size):
+        text = random_field_text(rng)
+        ids = encode_text(text)[:MAX_LABEL]
+        text = "".join(
+            c for c in text.upper() if encode_text(c)
+        )[: len(ids)]  # keep label/text consistent
+        imgs[i, :, :, 0] = render_line(text, rng).astype(np.float32) / 255.0
+        labels[i, : len(ids)] = ids
+        pad[i, : len(ids)] = 0.0
+        texts.append(text)
+    return imgs, labels, pad, texts

@@ -1,0 +1,74 @@
+"""OcrEngine adapter for the JAX CTC recognizer.
+
+Replaces the reference's EasyOCR local engine (app_camera.py:73, 824-833) on
+this framework's hot path: the model loads once, inference is one jitted
+call, and greedy CTC decoding happens on host. Crops are normalized the way
+training data is rendered: grayscale, height-fit to 32, width-padded to 256.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from twinvoice_tpu.ocr.base import OcrResult
+from twinvoice_tpu.ocr.jaxocr.charset import greedy_ctc_decode
+from twinvoice_tpu.ocr.jaxocr.model import IMG_H, IMG_W, crnn_apply
+
+
+def prepare_crop(image) -> Optional[np.ndarray]:
+    """PIL/ndarray crop → (IMG_H, IMG_W) float32 [0,1], or None if unusable."""
+    import cv2
+
+    arr = np.asarray(image.convert("L") if hasattr(image, "convert") else image)
+    if arr.ndim == 3:
+        arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
+    if arr.size == 0:
+        return None
+    h, w = arr.shape
+    scale = (IMG_H - 4) / max(h, 1)
+    new_w = max(1, min(IMG_W, int(w * scale)))
+    arr = cv2.resize(arr, (new_w, IMG_H - 4), interpolation=cv2.INTER_LINEAR)
+    out = np.full((IMG_H, IMG_W), 255, np.float32)
+    out[2 : IMG_H - 2, :new_w] = arr
+    return out / 255.0
+
+
+class JaxOcrEngine:
+    name = "jaxocr"
+
+    def __init__(self, weights_dir: Optional[str] = None, params=None, state=None):
+        import jax
+
+        self._jax = jax
+        if params is None:
+            from twinvoice_tpu.ocr.jaxocr.train import DEFAULT_WEIGHTS_DIR, load_weights
+
+            wd = weights_dir or DEFAULT_WEIGHTS_DIR
+            try:
+                params, state = load_weights(wd)
+            except Exception:
+                params = state = None
+        self._params = params
+        self._state = state
+        if params is not None:
+            self._infer = jax.jit(
+                lambda p, s, x: crnn_apply(p, s, x, train=False)[0]
+            )
+
+    def available(self) -> bool:
+        return self._params is not None
+
+    def read(self, image, mode: str = "text") -> OcrResult:
+        if not self.available():
+            return OcrResult("", self.name)
+        x = prepare_crop(image)
+        if x is None:
+            return OcrResult("", self.name)
+        import jax.numpy as jnp
+
+        logits = self._infer(self._params, self._state, jnp.asarray(x)[None, :, :, None])
+        ids = np.asarray(jnp.argmax(logits[0], axis=-1))
+        return OcrResult(greedy_ctc_decode(ids), self.name)

@@ -1,0 +1,75 @@
+"""Compact convolutional CTC recognizer (pure-fn, NHWC, MXU-friendly).
+
+Architecture: 4 conv+BN+ReLU stages with 2×2 pooling collapse the 32×256
+grayscale line to a 32-step feature sequence; two width-wise 1D context
+convs (a small TCN — no recurrence, so the whole model is one feed-forward
+XLA graph, unlike EasyOCR's LSTM recognizer) and a linear head emit CTC
+logits. ~0.9M params.
+
+Functional contract mirrors models.unet: ``init_crnn`` → (params, state);
+``crnn_apply(params, state, x, train)`` → (logits (B, T, C), new_state).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from twinvoice_tpu.ops.conv import conv2d, init_conv, max_pool2
+from twinvoice_tpu.ops.norm import batchnorm_apply, init_batchnorm
+from twinvoice_tpu.ocr.jaxocr.charset import NUM_CLASSES
+
+IMG_H = 32
+IMG_W = 256
+TIME_STEPS = IMG_W // 8  # 3 pools of 2 → 32 steps
+
+_CONV_CHANNELS = (32, 64, 96, 128)
+_CONTEXT = 256
+
+
+def init_crnn(key, *, dtype=jnp.float32, num_classes=NUM_CLASSES):
+    keys = iter(jax.random.split(key, 16))
+    params = {"conv": [], "bn": [], "ctx": [], "ctx_bn": []}
+    state = {"bn": [], "ctx_bn": []}
+    cin = 1
+    for c in _CONV_CHANNELS:
+        params["conv"].append(init_conv(next(keys), 3, 3, cin, c, dtype=dtype))
+        bn_p, bn_s = init_batchnorm(c, dtype=dtype)
+        params["bn"].append(bn_p)
+        state["bn"].append(bn_s)
+        cin = c
+    feat = _CONV_CHANNELS[-1] * (IMG_H // 8)  # height collapsed into features
+    params["proj"] = init_conv(next(keys), 1, 1, feat, _CONTEXT, dtype=dtype)
+    for _ in range(2):
+        params["ctx"].append(init_conv(next(keys), 1, 5, _CONTEXT, _CONTEXT, dtype=dtype))
+        bn_p, bn_s = init_batchnorm(_CONTEXT, dtype=dtype)
+        params["ctx_bn"].append(bn_p)
+        state["ctx_bn"].append(bn_s)
+    params["head"] = init_conv(next(keys), 1, 1, _CONTEXT, num_classes, dtype=dtype)
+    return params, state
+
+
+def crnn_apply(params, state, x, *, train=False):
+    """``x``: (B, 32, 256, 1) float in [0,1] (dark text on light bg is fine;
+    the first BN normalizes polarity). Returns (logits (B, 32, classes), state).
+    """
+    new_state = {"bn": [], "ctx_bn": []}
+    h = x
+    for i, (cp, bp) in enumerate(zip(params["conv"], params["bn"])):
+        h = conv2d(h, cp["kernel"], cp["bias"], padding=((1, 1), (1, 1)))
+        h, s = batchnorm_apply(h, bp, state["bn"][i], train=train)
+        new_state["bn"].append(s)
+        h = jax.nn.relu(h)
+        if i < 3:
+            h = max_pool2(h)
+    # (B, 4, 32, 128) → time-major sequence (B, 1, 32, 512)
+    b, hh, ww, cc = h.shape
+    h = jnp.transpose(h, (0, 2, 1, 3)).reshape(b, 1, ww, hh * cc)
+    h = jax.nn.relu(conv2d(h, params["proj"]["kernel"], params["proj"]["bias"], padding="VALID"))
+    for i, (cp, bp) in enumerate(zip(params["ctx"], params["ctx_bn"])):
+        r = conv2d(h, cp["kernel"], cp["bias"], padding=((0, 0), (2, 2)))
+        r, s = batchnorm_apply(r, bp, state["ctx_bn"][i], train=train)
+        new_state["ctx_bn"].append(s)
+        h = h + jax.nn.relu(r)  # residual context
+    logits = conv2d(h, params["head"]["kernel"], params["head"]["bias"], padding="VALID")
+    return logits[:, 0], new_state

@@ -1,0 +1,123 @@
+"""CTC training for the recognizer. Runs on whatever device JAX has (the
+real TPU under the driver; tiny enough for CPU smoke tests).
+
+Usage: ``python -m twinvoice_tpu.ocr.jaxocr.train [steps] [out_dir]``
+Saves an orbax weights-only checkpoint the engine loads lazily.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from twinvoice_tpu.ocr.jaxocr import data as D
+from twinvoice_tpu.ocr.jaxocr.charset import greedy_ctc_decode
+from twinvoice_tpu.ocr.jaxocr.model import TIME_STEPS, crnn_apply, init_crnn
+
+DEFAULT_WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+
+
+def make_train_step(optimizer):
+    def step(params, state, opt_state, imgs, labels, label_pad):
+        def loss_fn(p):
+            logits, new_state = crnn_apply(p, state, imgs, train=True)
+            logit_pad = jnp.zeros(logits.shape[:2], jnp.float32)  # all frames valid
+            loss = jnp.mean(
+                optax.ctc_loss(
+                    logits.astype(jnp.float32), logit_pad, labels, label_pad
+                )
+            )
+            return loss, new_state
+
+        (loss, new_state), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_state, opt_state, loss
+
+    return jax.jit(step, donate_argnums=(0, 1, 2))
+
+
+def evaluate(params, state, rng, n_batches=4, batch_size=64):
+    """→ (exact-match rate, char error rate) on fresh synthetic batches."""
+    infer = jax.jit(lambda p, s, x: crnn_apply(p, s, x, train=False)[0])
+    exact = total = 0
+    errs = chars = 0
+    for _ in range(n_batches):
+        imgs, labels, pad, texts = D.make_batch(batch_size, rng)
+        logits = infer(params, state, jnp.asarray(imgs))
+        ids = np.asarray(jnp.argmax(logits, axis=-1))
+        for row, text in zip(ids, texts):
+            got = greedy_ctc_decode(row)
+            exact += got == text
+            total += 1
+            errs += _levenshtein(got, text)
+            chars += max(1, len(text))
+    return exact / total, errs / chars
+
+
+def _levenshtein(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def save_weights(out_dir, params, state):
+    import orbax.checkpoint as ocp
+
+    ocp.PyTreeCheckpointer().save(
+        os.path.abspath(out_dir), {"params": params, "bn_state": state}, force=True
+    )
+
+
+def load_weights(weights_dir=DEFAULT_WEIGHTS_DIR):
+    import orbax.checkpoint as ocp
+
+    template_p, template_s = init_crnn(jax.random.key(0))
+    got = ocp.PyTreeCheckpointer().restore(
+        os.path.abspath(weights_dir),
+        item={"params": template_p, "bn_state": template_s},
+    )
+    return got["params"], got["bn_state"]
+
+
+def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR, log=print):
+    rng = np.random.default_rng(seed)
+    params, state = init_crnn(jax.random.key(seed))
+    optimizer = optax.adamw(
+        optax.warmup_cosine_decay_schedule(0.0, lr, 100, steps), weight_decay=1e-5
+    )
+    opt_state = optimizer.init(params)
+    step_fn = make_train_step(optimizer)
+
+    t0 = time.time()
+    for it in range(1, steps + 1):
+        imgs, labels, pad, _ = D.make_batch(batch_size, rng)
+        params, state, opt_state, loss = step_fn(
+            params, state, opt_state,
+            jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad),
+        )
+        if it % 200 == 0 or it == 1:
+            log(f"step {it}/{steps} loss {float(loss):.4f} ({time.time()-t0:.0f}s)")
+    acc, cer = evaluate(params, state, np.random.default_rng(seed + 1))
+    log(f"eval: exact={acc:.3f} cer={cer:.4f}")
+    save_weights(out_dir, params, state)
+    log(f"saved weights to {out_dir}")
+    return params, state, {"exact": acc, "cer": cer}
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
+    out = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_WEIGHTS_DIR
+    train(steps=n, out_dir=out)
