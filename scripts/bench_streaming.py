@@ -1,0 +1,60 @@
+"""BASELINE config 5 (stretch) — streaming camera-frame latency.
+
+Feeds 1080p frames one at a time through the device-resize serving graph
+(resize→normalize→U-Net→threshold→bbox, batch=1) and reports p50/p95 frame
+latency; target ≤30 ms/frame sustained.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main(frames=30):
+    import jax
+    import jax.numpy as jnp
+
+    from twinvoice_tpu.config import InferConfig, UNetConfig
+    from twinvoice_tpu.infer.pipeline import Segmenter
+    from twinvoice_tpu.models.unet import init_unet
+
+    mcfg, icfg = UNetConfig(), InferConfig()
+    params, state = init_unet(jax.random.key(0), mcfg)
+    seg = Segmenter(params, state, mcfg, icfg, dtype=jnp.bfloat16)
+
+    rng = np.random.default_rng(0)
+    frame = jnp.asarray(rng.integers(0, 255, (1, 1080, 1920, 3), dtype=np.uint8))
+    sizes = jnp.asarray([[1920, 1080]], jnp.int32)
+
+    # warmup/compile
+    for _ in range(2):
+        out = seg.segment_batch(frame, sizes, pre_resized=False)
+        jax.block_until_ready(out)
+
+    lat = []
+    for _ in range(frames):
+        t0 = time.perf_counter()
+        mask, boxes, ok = seg.segment_batch(frame, sizes, pre_resized=False)
+        np.asarray(boxes)
+        jax.block_until_ready(ok)
+        lat.append(1e3 * (time.perf_counter() - t0))
+    lat.sort()
+    print(
+        json.dumps(
+            {
+                "metric": "1080p streaming frame latency (device resize + bf16 U-Net + bbox)",
+                "p50_ms": round(lat[len(lat) // 2], 2),
+                "p95_ms": round(lat[int(0.95 * len(lat)) - 1], 2),
+                "target_ms": 30,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

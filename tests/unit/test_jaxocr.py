@@ -1,0 +1,109 @@
+"""JAX OCR recognizer tests: charset, CTC decode, model mechanics, synthetic
+data, engine adapter, and (when trained weights are present) accuracy."""
+
+import os
+
+import numpy as np
+import pytest
+
+from twinvoice_tpu.ocr.jaxocr.charset import (
+    BLANK,
+    NUM_CLASSES,
+    decode_ids,
+    encode_text,
+    greedy_ctc_decode,
+)
+
+
+def test_charset_roundtrip():
+    assert decode_ids(encode_text("AB12345678")) == "AB12345678"
+    assert decode_ids(encode_text("nt$1,250")) == "NT$1,250"  # uppercased
+    assert encode_text("年") == []  # out-of-charset dropped
+
+
+def test_greedy_ctc_collapse():
+    a = encode_text("A")[0]
+    b = encode_text("B")[0]
+    assert greedy_ctc_decode([BLANK, a, a, BLANK, a, b, b]) == "AAB"
+    assert greedy_ctc_decode([BLANK] * 5) == ""
+
+
+def test_model_shapes_and_train_step():
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from twinvoice_tpu.ocr.jaxocr.model import TIME_STEPS, crnn_apply, init_crnn
+    from twinvoice_tpu.ocr.jaxocr.train import make_train_step
+    from twinvoice_tpu.ocr.jaxocr import data as D
+
+    params, state = init_crnn(jax.random.key(0))
+    imgs, labels, pad, _ = D.make_batch(2, np.random.default_rng(0))
+    logits, new_state = crnn_apply(params, state, jnp.asarray(imgs))
+    assert logits.shape == (2, TIME_STEPS, NUM_CLASSES)
+    # all BN states updated in train mode
+    _, ns = crnn_apply(params, state, jnp.asarray(imgs), train=True)
+    assert len(ns["bn"]) == 4 and len(ns["ctx_bn"]) == 2
+    before = np.asarray(state["bn"][0]["mean"])
+    after = np.asarray(ns["bn"][0]["mean"])
+    assert not np.allclose(before, after)
+
+    opt = optax.adam(1e-3)
+    step = make_train_step(opt)
+    p, s, o, loss = step(params, state, opt.init(params),
+                         jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad))
+    assert np.isfinite(float(loss))
+
+
+def test_synthetic_data_labels_match_text():
+    from twinvoice_tpu.ocr.jaxocr import data as D
+
+    imgs, labels, pad, texts = D.make_batch(8, np.random.default_rng(3))
+    assert imgs.shape == (8, 32, 256, 1)
+    assert imgs.min() >= 0 and imgs.max() <= 1
+    for row, prow, text in zip(labels, pad, texts):
+        n = int((prow == 0).sum())
+        assert decode_ids(row[:n]) == text
+
+
+def test_weights_roundtrip(tmp_path):
+    import jax
+
+    from twinvoice_tpu.ocr.jaxocr.model import init_crnn
+    from twinvoice_tpu.ocr.jaxocr.train import load_weights, save_weights
+
+    params, state = init_crnn(jax.random.key(5))
+    path = str(tmp_path / "w.npz")
+    save_weights(path, params, state)
+    p2, s2 = load_weights(path)
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(p2)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_engine_unavailable_graceful(tmp_path):
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    eng = JaxOcrEngine(weights_dir=str(tmp_path / "missing.npz"))
+    assert not eng.available()
+    assert eng.read(np.zeros((10, 40, 3), np.uint8)).text == ""
+
+
+def _weights_present():
+    from twinvoice_tpu.ocr.jaxocr.train import DEFAULT_WEIGHTS_PATH
+
+    return os.path.exists(DEFAULT_WEIGHTS_PATH)
+
+
+@pytest.mark.skipif(not _weights_present(), reason="no trained weights")
+def test_trained_engine_reads_synthetic_fields():
+    from twinvoice_tpu.data.synthetic import render_invoice
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    eng = JaxOcrEngine()
+    assert eng.available()
+    img, boxes = render_invoice("AB12345678", "2025-09-09", 34567, seed=1)
+    x1, y1, x2, y2 = boxes["total_amount"]
+    got = eng.read(img.crop((x1 - 4, y1 - 4, x2 + 4, y2 + 4)), mode="amount").text
+    digits = "".join(c for c in got if c.isdigit())
+    assert digits == "34567"

@@ -44,6 +44,8 @@ def render_invoice(
 
     if items is None:
         items = [{"name": "синt", "qty": 1, "price": amount}]
+    from PIL import ImageFont
+
     w, h = size
     rng = np.random.default_rng(seed)
     bg = np.full((h, w, 3), 245, np.uint8)
@@ -52,19 +54,23 @@ def render_invoice(
     draw = ImageDraw.Draw(img)
 
     boxes: Dict[str, Tuple[int, int, int, int]] = {}
+    font = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf", 22
+    )
 
-    def text_line(label_text, y, scale=3):
-        # default bitmap font scaled up via draw-then-resize region
-        x = 30
-        draw.text((x, y), label_text, fill=(20, 20, 20))
-        tw = draw.textlength(label_text)
-        return (x, y, int(x + tw), y + 12)
+    def value_line(label_text, value_text, y):
+        """CJK label in the small default font (cosmetic), latin/digit VALUE
+        in a print-quality font — the ground-truth box covers the value."""
+        draw.text((30, y + 6), label_text, fill=(20, 20, 20))
+        x = 120
+        draw.text((x, y), value_text, fill=(20, 20, 20), font=font)
+        tw = draw.textlength(value_text, font=font)
+        return (x, y, int(x + tw), y + 26)
 
-    draw.text((140, 20), "電子發票證明聯", fill=(10, 10, 10))
-    boxes["invoice_no"] = text_line(f"{invoice_no[:2]}-{invoice_no[2:]}", 60)
-    roc = iso_to_roc(date_iso)
-    boxes["date"] = text_line(f"{int(roc[:3])}年{int(roc[3:5]):02d}月{int(roc[5:]):02d}日", 90)
-    boxes["total_amount"] = text_line(f"總計 {amount}", 120)
+    draw.text((150, 20), "電子發票證明聯", fill=(10, 10, 10))
+    boxes["invoice_no"] = value_line("發票號碼", f"{invoice_no[:2]}-{invoice_no[2:]}", 55)
+    boxes["date"] = value_line("日期", date_iso, 95)
+    boxes["total_amount"] = value_line("總計", str(amount), 135)
 
     qr1 = render_qr(header_qr_payload(invoice_no, date_iso, amount), module_px=4)
     qr2 = render_qr(items_qr_payload(items), module_px=4)

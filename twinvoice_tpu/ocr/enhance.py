@@ -39,3 +39,19 @@ def grayscale_for_ocr(image) -> np.ndarray:
     import cv2
 
     return cv2.cvtColor(_to_rgb_array(image), cv2.COLOR_RGB2GRAY)
+
+
+def enhance_camera(image) -> np.ndarray:
+    """Camera-frame enhancement that doesn't damage QR codes: CLAHE on the
+    luma channel only (YCrCb), leaving chroma and high-frequency detail
+    intact. Revives the reference's dead-but-intended camera enhancer
+    (app_camera.py:881-911). Returns RGB uint8.
+    """
+    import cv2
+
+    rgb = _to_rgb_array(image)
+    ycrcb = cv2.cvtColor(rgb, cv2.COLOR_RGB2YCrCb)
+    y, cr, cb = cv2.split(ycrcb)
+    clahe = cv2.createCLAHE(clipLimit=2.0, tileGridSize=(8, 8))
+    y = clahe.apply(y)
+    return cv2.cvtColor(cv2.merge([y, cr, cb]), cv2.COLOR_YCrCb2RGB)

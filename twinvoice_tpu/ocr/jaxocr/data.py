@@ -32,9 +32,9 @@ def _font(path, size):
 
 def random_field_text(rng: np.random.Generator) -> str:
     """Sample a string shaped like one of the three invoice fields."""
-    kind = rng.integers(0, 5)
+    kind = rng.integers(0, 6)
     letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-    if kind == 0:  # invoice number, possibly hyphenated
+    if kind in (0, 5):  # invoice number, possibly hyphenated (oversampled)
         no = "".join(rng.choice(list(letters), 2)) + "".join(
             rng.choice(list("0123456789"), 8)
         )
@@ -85,10 +85,12 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
     out.paste(crop, (ox, oy))
     img = np.asarray(out, np.float32)
 
-    # photometric augmentation
+    # photometric augmentation incl. paper texture (matches receipt scans)
     img = img * float(rng.uniform(0.7, 1.0)) + float(rng.uniform(0, 60))
     if rng.random() < 0.5:
         img = img + rng.normal(0, rng.uniform(2, 12), img.shape)
+    if rng.random() < 0.5:
+        img = img - rng.integers(0, 9, img.shape)  # paper grain
     if rng.random() < 0.3:  # cheap 2x2 box blur
         img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1) + np.roll(np.roll(img, 1, 0), 1, 1)) / 4
     return np.clip(img, 0, 255).astype(np.uint8)

@@ -19,7 +19,12 @@ from twinvoice_tpu.ocr.jaxocr.model import IMG_H, IMG_W, crnn_apply
 
 
 def prepare_crop(image) -> Optional[np.ndarray]:
-    """PIL/ndarray crop → (IMG_H, IMG_W) float32 [0,1], or None if unusable."""
+    """PIL/ndarray crop → (IMG_H, IMG_W) float32 [0,1], or None if unusable.
+
+    Tight-crops the ink (Otsu) before height-normalizing, matching the
+    training renderer's tight glyph bbox — without this, the margin around a
+    U-Net crop shrinks the glyphs and CTC starts collapsing repeated digits.
+    """
     import cv2
 
     arr = np.asarray(image.convert("L") if hasattr(image, "convert") else image)
@@ -27,6 +32,14 @@ def prepare_crop(image) -> Optional[np.ndarray]:
         arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
     if arr.size == 0:
         return None
+    thr, binary = cv2.threshold(arr, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+    ys, xs = np.where(binary == 0)  # ink = dark
+    if len(xs) > 4:  # tight content box with a 2px pad
+        y0 = max(0, ys.min() - 2)
+        y1 = min(arr.shape[0], ys.max() + 3)
+        x0 = max(0, xs.min() - 2)
+        x1 = min(arr.shape[1], xs.max() + 3)
+        arr = arr[y0:y1, x0:x1]
     h, w = arr.shape
     scale = (IMG_H - 4) / max(h, 1)
     new_w = max(1, min(IMG_W, int(w * scale)))
@@ -44,9 +57,9 @@ class JaxOcrEngine:
 
         self._jax = jax
         if params is None:
-            from twinvoice_tpu.ocr.jaxocr.train import DEFAULT_WEIGHTS_DIR, load_weights
+            from twinvoice_tpu.ocr.jaxocr.train import DEFAULT_WEIGHTS_PATH, load_weights
 
-            wd = weights_dir or DEFAULT_WEIGHTS_DIR
+            wd = weights_dir or DEFAULT_WEIGHTS_PATH
             try:
                 params, state = load_weights(wd)
             except Exception:

@@ -20,7 +20,8 @@ from twinvoice_tpu.ocr.jaxocr import data as D
 from twinvoice_tpu.ocr.jaxocr.charset import greedy_ctc_decode
 from twinvoice_tpu.ocr.jaxocr.model import TIME_STEPS, crnn_apply, init_crnn
 
-DEFAULT_WEIGHTS_DIR = os.path.join(os.path.dirname(__file__), "weights")
+DEFAULT_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights.npz")
+DEFAULT_WEIGHTS_DIR = DEFAULT_WEIGHTS_PATH  # backwards-friendly alias
 
 
 def make_train_step(optimizer):
@@ -73,23 +74,28 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def save_weights(out_dir, params, state):
-    import orbax.checkpoint as ocp
+def save_weights(out_path, params, state):
+    """Portable flat .npz (no device/sharding metadata — loads anywhere)."""
+    flat = {}
+    for prefix, tree in (("p", params), ("s", state)):
+        for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            key = prefix + "/" + jax.tree_util.keystr(path)
+            flat[key] = np.asarray(leaf)
+    np.savez_compressed(out_path, **flat)
 
-    ocp.PyTreeCheckpointer().save(
-        os.path.abspath(out_dir), {"params": params, "bn_state": state}, force=True
-    )
 
-
-def load_weights(weights_dir=DEFAULT_WEIGHTS_DIR):
-    import orbax.checkpoint as ocp
-
+def load_weights(weights_path=DEFAULT_WEIGHTS_PATH):
     template_p, template_s = init_crnn(jax.random.key(0))
-    got = ocp.PyTreeCheckpointer().restore(
-        os.path.abspath(weights_dir),
-        item={"params": template_p, "bn_state": template_s},
-    )
-    return got["params"], got["bn_state"]
+    with np.load(weights_path) as z:
+        def rebuild(prefix, tree):
+            leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
+            leaves = [
+                jnp.asarray(z[prefix + "/" + jax.tree_util.keystr(path)])
+                for path, _ in leaves_with_paths
+            ]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        return rebuild("p", template_p), rebuild("s", template_s)
 
 
 def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR, log=print):

@@ -150,6 +150,13 @@ def fit(
         tcfg.lr, tcfg.warm_restart_t0, tcfg.warm_restart_tmult, tcfg.eta_min
     )
 
+    # optional validation split + per-class IoU — absent in the reference,
+    # which checkpoints on best *training* loss (train.py:157-160)
+    val_set = None
+    if tcfg.val_fraction > 0:
+        dataset, val_set = dataset.split(tcfg.val_fraction, seed=tcfg.seed)
+        eval_step = make_eval_step(mcfg, tcfg)
+
     history = []
     loader_rng = np.random.default_rng(tcfg.seed)
     os.makedirs(tcfg.checkpoint_dir, exist_ok=True)
@@ -180,8 +187,27 @@ def fit(
         avg = total / max(nb, 1)
         state.epoch = epoch
         rec = {"epoch": epoch, "loss": avg, "lr": float(lr), "sec": time.time() - t0}
+        if val_set is not None and len(val_set):
+            vloss, viou = 0.0, np.zeros(mcfg.num_classes)
+            vb = 0
+            for images, masks in val_set.batches(
+                tcfg.batch_size, shuffle=False, dtype=np.float32
+            ):
+                loss_v, iou_v = eval_step(
+                    state.params, state.bn_state,
+                    jnp.asarray(images, dtype), jnp.asarray(masks, dtype),
+                )
+                vloss += float(loss_v)
+                viou += np.asarray(iou_v)
+                vb += 1
+            rec["val_loss"] = vloss / max(vb, 1)
+            rec["val_iou"] = (viou / max(vb, 1)).tolist()
         history.append(rec)
-        log(f"epoch {epoch} | loss {avg:.6f} | lr {float(lr):.2e} | {rec['sec']:.1f}s")
+        extra = (
+            f" | val {rec['val_loss']:.4f} iou {np.mean(rec['val_iou']):.3f}"
+            if "val_loss" in rec else ""
+        )
+        log(f"epoch {epoch} | loss {avg:.6f} | lr {float(lr):.2e} | {rec['sec']:.1f}s{extra}")
 
         if avg < state.best_loss:
             state.best_loss = avg
