@@ -70,6 +70,10 @@ def load_invoice_dataset(img_dir="fixed_images", mask_dir="fixed_masks") -> Arra
     """Load the on-disk layout the builder (data.labelme) produces."""
     import cv2
 
+    if not os.path.isdir(img_dir):
+        return ArrayDataset(
+            np.zeros((0, 512, 512, 3), np.uint8), np.zeros((0, 512, 512, 3), np.uint8)
+        )
     names = sorted(
         f.rsplit(".", 1)[0]
         for f in os.listdir(img_dir)

@@ -24,28 +24,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(thr_ref, x_ref, boxes_ref, valid_ref):
-    c = pl.program_id(1)
-    x = x_ref[0, 0]                      # (H, W) logits
-    h, w = x.shape
-    thr = thr_ref[c]                     # logit-space threshold
-    mask = x > thr
+    n_classes = x_ref.shape[1]
+    for c in range(n_classes):           # static unroll over the 3 fields
+        x = x_ref[0, c]                  # (H, W) logits
+        h, w = x.shape
+        thr = thr_ref[c]                 # logit-space threshold
+        mask = x > thr
 
-    rows = jnp.any(mask, axis=1, keepdims=True)      # (H, 1)
-    cols = jnp.any(mask, axis=0, keepdims=True)      # (1, W)
+        rows = jnp.any(mask, axis=1, keepdims=True)      # (H, 1)
+        cols = jnp.any(mask, axis=0, keepdims=True)      # (1, W)
 
-    yi = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
-    xi = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
+        yi = jax.lax.broadcasted_iota(jnp.int32, (h, 1), 0)
+        xi = jax.lax.broadcasted_iota(jnp.int32, (1, w), 1)
 
-    y1 = jnp.min(jnp.where(rows, yi, h))
-    y2 = jnp.max(jnp.where(rows, yi, -1))
-    x1 = jnp.min(jnp.where(cols, xi, w))
-    x2 = jnp.max(jnp.where(cols, xi, -1))
+        y1 = jnp.min(jnp.where(rows, yi, h))
+        y2 = jnp.max(jnp.where(rows, yi, -1))
+        x1 = jnp.min(jnp.where(cols, xi, w))
+        x2 = jnp.max(jnp.where(cols, xi, -1))
 
-    boxes_ref[0, 0, 0] = x1
-    boxes_ref[0, 0, 1] = y1
-    boxes_ref[0, 0, 2] = x2
-    boxes_ref[0, 0, 3] = y2
-    valid_ref[0, 0] = (y2 >= 0).astype(jnp.int32)
+        boxes_ref[0, c, 0] = x1
+        boxes_ref[0, c, 1] = y1
+        boxes_ref[0, c, 2] = x2
+        boxes_ref[0, c, 3] = y2
+        valid_ref[0, c, 0] = (y2 >= 0).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -61,21 +62,23 @@ def bbox_postprocess_pallas(logits_nhwc, thresholds, *, interpret=False):
 
     boxes, valid = pl.pallas_call(
         _kernel,
-        grid=(b, c),
+        grid=(b,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),   # thresholds (C,)
-            pl.BlockSpec((1, 1, h, w), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, c, h, w), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, 4), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, c, 4), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (i, j), memory_space=pltpu.SMEM),
+            # trailing singleton keeps the block's last-two dims equal to the
+            # full array dims (Mosaic SMEM blocking rule)
+            pl.BlockSpec((1, c, 1), lambda i: (i, 0, 0), memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, c, 4), jnp.int32),
-            jax.ShapeDtypeStruct((b, c), jnp.int32),
+            jax.ShapeDtypeStruct((b, c, 1), jnp.int32),
         ],
         interpret=interpret,
     )(logit_thr, x)
-    return boxes, valid.astype(bool)
+    return boxes, valid[..., 0].astype(bool)
