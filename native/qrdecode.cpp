@@ -331,7 +331,11 @@ std::vector<Finder> find_finders(const Bitmap& bm) {
             if (cross_check(bm, (int)cx, y, module, &cy_ref)) {
               bool merged = false;
               for (auto& f : out) {
-                if (std::fabs(f.x - cx) < 4 * module && std::fabs(f.y - cy_ref) < 4 * module) {
+                // same pattern only if position AND module size agree —
+                // otherwise nearby data-area false positives drag the center
+                if (std::fabs(f.x - cx) < 3 * module &&
+                    std::fabs(f.y - cy_ref) < 3 * module &&
+                    std::fabs(f.module - module) < 0.35 * module) {
                   f.x = (f.x * f.votes + cx) / (f.votes + 1);
                   f.y = (f.y * f.votes + cy_ref) / (f.votes + 1);
                   f.module = (f.module * f.votes + module) / (f.votes + 1);
@@ -672,14 +676,14 @@ bool decode_triple(const Bitmap& bm, const Finder& f0, const Finder& f1,
     int err = std::abs(n - n_est);
     if (err < best_err) { best_err = err; best_version = v; }
   }
-  if (best_version < 0 || best_err > 3) {
+  if (best_version < 0 || best_err > 6) {
     if (qr_debug()) fprintf(stderr, "[qrdecode] n_est=%d rejected\n", n_est);
     return false;
   }
   if (qr_debug()) fprintf(stderr, "[qrdecode] n_est=%d try v=%d..\n", n_est, best_version);
 
-  for (int version = std::max(1, best_version - 1);
-       version <= std::min(10, best_version + 1); version++) {
+  for (int version = std::max(1, best_version - 2);
+       version <= std::min(10, best_version + 2); version++) {
     int n = 17 + 4 * version;
     // perspective from the three finder centers (+ inferred 4th corner):
     // finder centers sit at module coords (3.5, 3.5), (n-3.5, 3.5), (3.5, n-3.5)
@@ -788,11 +792,9 @@ static int decode_pass(const uint8_t* img, int h, int w, int stride,
     if (f.votes >= 2) fs.push_back(f);
   if (fs.size() < 3) fs = finders;
   if (fs.size() < 3) return 0;
-  if (fs.size() > 12) {
-    std::sort(fs.begin(), fs.end(),
-              [](const Finder& a, const Finder& b) { return a.votes > b.votes; });
-    fs.resize(12);
-  }
+  std::sort(fs.begin(), fs.end(),
+            [](const Finder& a, const Finder& b) { return a.votes > b.votes; });
+  if (fs.size() > 16) fs.resize(16);
 
   int count = 0;
   for (size_t i = 0; i < fs.size(); i++)
