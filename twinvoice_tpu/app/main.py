@@ -54,6 +54,11 @@ def _build_engine():
     space = OcrSpaceEngine()
     if space.available():
         engines.append(space)
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    local = JaxOcrEngine()  # the TPU-native local recognizer
+    if local.available():
+        engines.append(local)
     easy = EasyOcrEngine()
     if easy.available():
         engines.append(easy)

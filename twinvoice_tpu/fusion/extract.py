@@ -181,14 +181,22 @@ class InvoiceExtractor:
         readings: Dict[str, List[str]] = {f: [] for f in FIELDS}
         with trace_span("fusion.ocr"):
             for engine in self.engines:
-                for fieldname in FIELDS:
-                    crop = crops.get(fieldname)
+                field_crops = [crops.get(f) for f in FIELDS]
+                modes = [_FIELD_MODES[f] for f in FIELDS]
+                if hasattr(engine, "read_batch"):
+                    # one device call for all three field crops
+                    results = log.guarded(
+                        "ocr", engine.read_batch, field_crops, modes=modes,
+                        default=[None] * len(FIELDS),
+                    )
+                    for fieldname, r in zip(FIELDS, results):
+                        readings[fieldname].append(r.text if r else "")
+                    continue
+                for fieldname, crop, mode in zip(FIELDS, field_crops, modes):
                     if crop is None:
                         readings[fieldname].append("")
                         continue
-                    result = log.guarded(
-                        "ocr", engine.read, crop, mode=_FIELD_MODES[fieldname]
-                    )
+                    result = log.guarded("ocr", engine.read, crop, mode=mode)
                     readings[fieldname].append(result.text if result else "")
 
         # -- merge: invoice number (QR already won if present) -------------
