@@ -49,3 +49,31 @@ def test_single_pixel():
     v = np.asarray(valid)[0]
     assert list(v) == [False, True, False]
     np.testing.assert_array_equal(np.asarray(boxes)[0, 1], [7, 5, 7, 5])
+
+
+def test_fast_logit_bbox_matches_prob_bbox(rng):
+    from twinvoice_tpu.infer.postprocess import (
+        bbox_from_logits_fast,
+        probability_to_logit_thresholds,
+    )
+
+    logits = jnp.asarray(rng.standard_normal((48, 56, 3)) * 2, jnp.float32)
+    prob = jax.nn.sigmoid(logits)
+    ref_b, ref_v = bbox_from_probs(prob, jnp.asarray(THR))
+    got_b, got_v = bbox_from_logits_fast(logits, probability_to_logit_thresholds(THR))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))
+
+
+def test_fast_logit_bbox_bf16_inputs(rng):
+    from twinvoice_tpu.infer.postprocess import (
+        bbox_from_logits_fast,
+        probability_to_logit_thresholds,
+    )
+
+    logits = jnp.asarray(rng.standard_normal((16, 16, 3)) * 3, jnp.bfloat16)
+    prob = jax.nn.sigmoid(logits.astype(jnp.float32))
+    ref_b, ref_v = bbox_from_probs(prob, jnp.asarray(THR))
+    got_b, got_v = bbox_from_logits_fast(logits, probability_to_logit_thresholds(THR))
+    np.testing.assert_array_equal(np.asarray(got_v), np.asarray(ref_v))
+    np.testing.assert_array_equal(np.asarray(got_b), np.asarray(ref_b))

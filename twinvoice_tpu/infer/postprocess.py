@@ -41,6 +41,36 @@ def bbox_from_probs(prob, thresholds):
     return jnp.stack([x1, y1, x2, y2], axis=-1), valid
 
 
+def bbox_from_logits_fast(logits, logit_thresholds):
+    """Bbox via max-reductions on raw logits — numerically identical to
+    ``bbox_from_probs(sigmoid(logits), t)`` since ``max(x) > logit(t) ⟺
+    any(sigmoid(x) > t)``, but touches the (H,W,C) tensor only twice, in its
+    native dtype, with no mask materialization (the serving hot path).
+
+    ``logits``: (H, W, C); ``logit_thresholds``: (C,) fp32.
+    Returns ``(boxes (C,4) int32 [x1,y1,x2,y2] inclusive, valid (C,))``.
+    """
+    h, w, c = logits.shape
+    thr = jnp.asarray(logit_thresholds, jnp.float32)
+    row_max = jnp.max(logits, axis=1).astype(jnp.float32)  # (H, C)
+    col_max = jnp.max(logits, axis=0).astype(jnp.float32)  # (W, C)
+    rows = row_max > thr
+    cols = col_max > thr
+    valid = jnp.any(rows, axis=0)
+    yi = jax.lax.broadcasted_iota(jnp.int32, (h, c), 0)   # row index per (H,C)
+    xi = jax.lax.broadcasted_iota(jnp.int32, (w, c), 0)   # col index per (W,C)
+    y1 = jnp.min(jnp.where(rows, yi, h), axis=0)
+    y2 = jnp.max(jnp.where(rows, yi, -1), axis=0)
+    x1 = jnp.min(jnp.where(cols, xi, w), axis=0)
+    x2 = jnp.max(jnp.where(cols, xi, -1), axis=0)
+    return jnp.stack([x1, y1, x2, y2], axis=-1), valid
+
+
+def probability_to_logit_thresholds(thresholds):
+    t = jnp.asarray(thresholds, jnp.float32)
+    return jnp.log(t) - jnp.log1p(-t)
+
+
 def scale_and_pad_boxes(boxes, valid, orig_size, grid_size, pad_frac):
     """Map grid boxes to original-image pixel boxes with reference semantics.
 
