@@ -23,11 +23,18 @@ def sum_items_amount(items: List[dict]) -> int:
     return total
 
 
+def _as_int(value, default=0) -> int:
+    try:
+        return int(value)
+    except (TypeError, ValueError):
+        return default
+
+
 def _item_amount(it: dict) -> int:
     if it.get("amount") is not None:
-        return int(it["amount"])
+        return _as_int(it["amount"])
     if it.get("price") is not None and it.get("qty") is not None:
-        return int(it["price"]) * int(it["qty"])
+        return _as_int(it["price"]) * _as_int(it["qty"])
     return 0
 
 
@@ -52,7 +59,7 @@ def adjust_items_to_total(items: List[dict], total_amount: int) -> List[dict]:
     for it, amt in zip(items, scaled):
         new = dict(it)
         new["amount"] = int(amt)
-        qty = int(new.get("qty", 1) or 1)
+        qty = _as_int(new.get("qty", 1), default=1) or 1
         if qty > 0:
             new["price"] = int(round(amt / qty))
         out.append(new)

@@ -82,15 +82,14 @@ class Segmenter:
             x = resize_bilinear(raw_u8.astype(jnp.float32), size, size)
             x = (x / 255.0).astype(dtype)
             logits = unet_apply_folded(folded, x)
-            prob = jax.nn.sigmoid(logits.astype(jnp.float32))
 
-            def post(p, osz):
-                gboxes, valid = bbox_from_probs(p, self._thr)
+            def post(lg, osz):
+                gboxes, valid = bbox_from_logits_fast(lg, logit_thr)
                 boxes, ok = scale_and_pad_boxes(gboxes, valid, osz, size, cfg.pad_frac)
                 return boxes, ok
 
-            boxes, ok = jax.vmap(post)(prob, orig_sizes)
-            mask = prob > self._thr
+            boxes, ok = jax.vmap(post)(logits, orig_sizes)
+            mask = jax.nn.sigmoid(logits.astype(jnp.float32)) > self._thr
             return mask, boxes, ok
 
         self._run = _run
