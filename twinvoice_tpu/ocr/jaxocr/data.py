@@ -71,13 +71,16 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
     y0, y1 = ys.min(), ys.max() + 1
     crop = Image.fromarray(arr[y0:y1, x0:x1])
 
-    if rng.random() < 0.3:
-        crop = crop.rotate(float(rng.uniform(-2.5, 2.5)), expand=True, fillcolor=255)
+    if rng.random() < 0.4:
+        crop = crop.rotate(float(rng.uniform(-4.0, 4.0)), expand=True, fillcolor=255)
 
-    # fit into target while keeping aspect; random horizontal placement
+    # fit into target while keeping aspect (± slight x-stretch, simulating
+    # the aspect distortion bbox scale-back introduces); random placement
     w, h = crop.size
     scale = min((IMG_H - 4) / h, (IMG_W - 4) / w)
-    crop = crop.resize((max(1, int(w * scale)), max(1, int(h * scale))))
+    stretch = float(rng.uniform(0.85, 1.15))
+    new_w = max(1, min(IMG_W - 4, int(w * scale * stretch)))
+    crop = crop.resize((new_w, max(1, int(h * scale))))
     out = Image.new("L", (IMG_W, IMG_H), 255)
     max_x = IMG_W - crop.size[0]
     ox = int(rng.integers(0, max(1, max_x // 3)))

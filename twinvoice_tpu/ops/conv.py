@@ -28,16 +28,23 @@ _DN = ("NHWC", "HWIO", "NHWC")
 
 
 def conv2d(x, kernel, bias=None, *, padding="SAME", accum_dtype=jnp.float32):
-    """General NHWC conv. ``kernel``: (kH,kW,Cin,Cout)."""
+    """General NHWC conv. ``kernel``: (kH,kW,Cin,Cout).
+
+    Mixed precision: the kernel is cast to the activation dtype (bf16
+    compute against f32 master weights — the cast differentiates, so grads
+    land back on the f32 params). The output dtype follows the input; the
+    MXU accumulates fp32 internally either way, and keeping in/out dtypes
+    equal keeps the conv's backward-pass cotangents type-consistent.
+    """
+    del accum_dtype  # the MXU accumulator is fp32 in hardware
     y = lax.conv_general_dilated(
         x,
-        kernel,
+        kernel.astype(x.dtype),
         window_strides=(1, 1),
         padding=padding,
         dimension_numbers=_DN,
-        preferred_element_type=accum_dtype,
+        preferred_element_type=x.dtype,
     )
-    y = y.astype(x.dtype)
     if bias is not None:
         y = y + bias.astype(y.dtype)
     return y
@@ -68,10 +75,12 @@ def conv_transpose2x2(x, p, *, accum_dtype=jnp.float32):
     kh, kw, kci, co = k.shape
     assert (kh, kw) == (2, 2) and kci == ci, (k.shape, x.shape)
     # (Cin, a, b, Cout) -> (Cin, a*b*Cout)
+    del accum_dtype  # see conv2d: fp32 accumulation is the MXU default
     kmat = jnp.transpose(k, (2, 0, 1, 3)).reshape(ci, kh * kw * co)
     y = jnp.dot(
-        x.reshape(n * h * w, ci), kmat, preferred_element_type=accum_dtype
-    ).astype(x.dtype)
+        x.reshape(n * h * w, ci), kmat.astype(x.dtype),
+        preferred_element_type=x.dtype,
+    )
     y = y.reshape(n, h, w, kh, kw, co)
     y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, h * kh, w * kw, co)
     bias = p.get("bias")
