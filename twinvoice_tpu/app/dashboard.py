@@ -9,7 +9,7 @@ ordering, monthly bar totals (1174-1175), category pie totals (1249-1255).
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 
 def prepare_frames(invoices: List[dict], items: List[dict]):

@@ -22,8 +22,6 @@ from __future__ import annotations
 import io
 import os
 
-import numpy as np
-
 # retro warm palette (visual parity with the reference theme,
 # app_camera.py:921-932, .streamlit/config.toml)
 PALETTE = ["#993333", "#CC7357", "#5F7057", "#B8A699", "#A49375", "#333333"]

@@ -9,7 +9,7 @@ last item; prices are re-derived from qty where present.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 
 def sum_items_amount(items: List[dict]) -> int:

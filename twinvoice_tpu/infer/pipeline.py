@@ -16,8 +16,6 @@ Two modes:
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -28,7 +26,6 @@ from twinvoice_tpu.models.unet import fold_unet, unet_apply_folded
 from twinvoice_tpu.ops.image import resize_bilinear
 from twinvoice_tpu.infer.postprocess import (
     bbox_from_logits_fast,
-    bbox_from_probs,
     probability_to_logit_thresholds,
     scale_and_pad_boxes,
 )

@@ -11,7 +11,7 @@ interchangeable, and engines declare whether they want binarized input
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Protocol, runtime_checkable
 
 

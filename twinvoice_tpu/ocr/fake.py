@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Optional, Union
+from typing import Callable, Union
 
 from twinvoice_tpu.ocr.base import OcrResult
 

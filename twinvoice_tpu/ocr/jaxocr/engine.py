@@ -8,7 +8,6 @@ training data is rendered: grayscale, height-fit to 32, width-padded to 256.
 
 from __future__ import annotations
 
-import os
 from typing import Optional
 
 import numpy as np

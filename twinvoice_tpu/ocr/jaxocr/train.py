@@ -18,7 +18,7 @@ import optax
 
 from twinvoice_tpu.ocr.jaxocr import data as D
 from twinvoice_tpu.ocr.jaxocr.charset import greedy_ctc_decode
-from twinvoice_tpu.ocr.jaxocr.model import TIME_STEPS, crnn_apply, init_crnn
+from twinvoice_tpu.ocr.jaxocr.model import crnn_apply, init_crnn
 
 DEFAULT_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights.npz")
 DEFAULT_WEIGHTS_DIR = DEFAULT_WEIGHTS_PATH  # backwards-friendly alias

@@ -15,8 +15,6 @@ import io
 import os
 from typing import Callable, Optional
 
-import numpy as np
-
 from twinvoice_tpu.ocr.base import OcrResult
 from twinvoice_tpu.ocr.enhance import enhance_for_ocr
 

@@ -15,7 +15,6 @@ lanes; the caller transposes (a cheap relayout vs. the conv stack).
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

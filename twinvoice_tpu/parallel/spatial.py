@@ -16,12 +16,10 @@ Two routes exist in this framework:
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from twinvoice_tpu.ops.conv import conv2d
 

@@ -10,7 +10,7 @@ no external QR library involved.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

@@ -21,7 +21,6 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Optional
 
 import numpy as np
@@ -31,7 +30,7 @@ import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from twinvoice_tpu.config import Config, TrainConfig, UNetConfig
-from twinvoice_tpu.core.mesh import batch_sharding, make_mesh, param_shardings
+from twinvoice_tpu.core.mesh import batch_sharding, param_shardings
 from twinvoice_tpu.models.unet import init_unet, unet_apply
 from twinvoice_tpu.train.losses import invoice_loss
 from twinvoice_tpu.train.metrics import per_class_iou
