@@ -174,7 +174,13 @@ def _folded_double_conv(p, x):
 
 
 def unet_apply_folded(folded, x):
-    """Inference-only forward on BN-folded params (conv+ReLU graph)."""
+    """Inference-only forward on BN-folded params (conv+ReLU graph).
+
+    The decoder's skip concatenation is algebraically eliminated:
+    ``conv([up, skip], K) == conv(up, K[:, :, :C]) + conv(skip, K[:, :, C:])``
+    so the (2C, H, W) concat tensor — pure HBM write+read traffic at full
+    resolution — is never materialized.
+    """
     skips = []
     h = x
     for p in folded["enc"]:
@@ -184,8 +190,12 @@ def unet_apply_folded(folded, x):
     h = _folded_double_conv(folded["bottleneck"], h)
     for up_p, dec_p, skip in zip(folded["up"], folded["dec"], reversed(skips)):
         h = conv_transpose2x2(h, up_p)
-        h = jnp.concatenate([h, skip], axis=-1)
-        h = _folded_double_conv(dec_p, h)
+        c = h.shape[-1]
+        k1 = dec_p["conv1"]["kernel"]
+        part_up = conv3x3(h, {"kernel": k1[:, :, :c], "bias": dec_p["conv1"]["bias"]})
+        part_skip = conv3x3(skip, {"kernel": k1[:, :, c:]})
+        h = jax.nn.relu(part_up + part_skip)
+        h = jax.nn.relu(conv3x3(h, dec_p["conv2"]))
     return conv1x1(h, folded["out"])
 
 
