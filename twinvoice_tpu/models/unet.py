@@ -24,6 +24,7 @@ from twinvoice_tpu.ops.conv import (
     conv1x1,
     conv3x3,
     conv_transpose2x2,
+    conv_transpose2x2_serving,
     init_conv,
     init_conv_transpose,
     max_pool2,
@@ -189,7 +190,7 @@ def unet_apply_folded(folded, x):
         h = max_pool2(h)
     h = _folded_double_conv(folded["bottleneck"], h)
     for up_p, dec_p, skip in zip(folded["up"], folded["dec"], reversed(skips)):
-        h = conv_transpose2x2(h, up_p)
+        h = conv_transpose2x2_serving(h, up_p)
         c = h.shape[-1]
         k1 = dec_p["conv1"]["kernel"]
         part_up = conv3x3(h, {"kernel": k1[:, :, :c], "bias": dec_p["conv1"]["bias"]})
