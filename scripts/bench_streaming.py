@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(frames=30):
+def main(frames=30, res=512):
     import jax
     import jax.numpy as jnp
 
@@ -23,7 +23,7 @@ def main(frames=30):
     from twinvoice_tpu.infer.pipeline import Segmenter
     from twinvoice_tpu.models.unet import init_unet
 
-    mcfg, icfg = UNetConfig(), InferConfig()
+    mcfg, icfg = UNetConfig(), InferConfig(img_size=res)
     params, state = init_unet(jax.random.key(0), mcfg)
     seg = Segmenter(params, state, mcfg, icfg, dtype=jnp.bfloat16)
 
@@ -47,7 +47,7 @@ def main(frames=30):
     print(
         json.dumps(
             {
-                "metric": "1080p streaming frame latency (device resize + bf16 U-Net + bbox)",
+                "metric": f"1080p streaming frame latency (device resize + bf16 U-Net@{res} + bbox)",
                 "p50_ms": round(lat[len(lat) // 2], 2),
                 "p95_ms": round(lat[int(0.95 * len(lat)) - 1], 2),
                 "target_ms": 30,
@@ -57,4 +57,4 @@ def main(frames=30):
 
 
 if __name__ == "__main__":
-    main()
+    main(res=int(sys.argv[1]) if len(sys.argv) > 1 else 512)
