@@ -69,6 +69,38 @@ def save_params(path, params, bn_state):
     )
 
 
+def save_params_npz(path, params, state):
+    """Portable flat-npz weights (no device/sharding metadata; loads on any
+    backend — orbax checkpoints pin the saving device's sharding)."""
+    import jax
+
+    flat = {}
+    for prefix, tree in (("p", params), ("s", state)):
+        for kp, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            flat[prefix + "/" + jax.tree_util.keystr(kp)] = np.asarray(leaf)
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez_compressed(path, **flat)
+
+
+def load_params_npz(path, cfg: UNetConfig = UNetConfig()):
+    import jax
+    import jax.numpy as jnp
+
+    from twinvoice_tpu.models.unet import init_unet
+
+    tp, ts = init_unet(jax.random.key(0), cfg)
+    with np.load(path) as z:
+        def rebuild(prefix, tree):
+            lp, treedef = jax.tree_util.tree_flatten_with_path(tree)
+            leaves = [
+                jnp.asarray(z[prefix + "/" + jax.tree_util.keystr(kp)])
+                for kp, _ in lp
+            ]
+            return jax.tree_util.tree_unflatten(treedef, leaves)
+
+        return rebuild("p", tp), rebuild("s", ts)
+
+
 def restore_params(path, cfg: UNetConfig = UNetConfig()):
     from twinvoice_tpu.models.unet import init_unet
 
