@@ -37,19 +37,23 @@ def main():
     img.save("/tmp/demo_invoice.png")
     print("  saved /tmp/demo_invoice.png", img.size)
 
-    class GtSegmenter:
-        """Stands in for the U-Net here so the demo doesn't depend on a
-        trained segmentation checkpoint; swap in infer.Segmenter.from_pth
-        for the real model."""
+    from twinvoice_tpu.models import pretrained
 
-        def segment_pil(self, im):
-            return {}, {
-                f: im.crop((x1 - 4, y1 - 4, x2 + 4, y2 + 4))
-                for f, (x1, y1, x2, y2) in boxes.items()
-            }
+    if pretrained.available():
+        print("loading the bundled trained segmenter (models/pretrained)...")
+        segmenter = pretrained.load_pretrained_segmenter()
+    else:  # fall back to ground-truth boxes if weights were stripped
+        class GtSegmenter:
+            def segment_pil(self, im):
+                return {}, {
+                    f: im.crop((x1 - 4, y1 - 4, x2 + 4, y2 + 4))
+                    for f, (x1, y1, x2, y2) in boxes.items()
+                }
+
+        segmenter = GtSegmenter()
 
     extractor = InvoiceExtractor(
-        GtSegmenter(), QrPipeline(), [JaxOcrEngine()],
+        segmenter, QrPipeline(), [JaxOcrEngine()],
         FusionConfig(auto_rotate=False),
     )
     meta, items, qr_raw = extractor.extract(img)

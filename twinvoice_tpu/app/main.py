@@ -41,12 +41,16 @@ def _build_engine():
     from twinvoice_tpu.qr.detect import QrPipeline
 
     cfg = Config()
-    ckpt = os.environ.get("TWINVOICE_CKPT", "checkpoints/best")
+    ckpt = os.environ.get("TWINVOICE_CKPT", "")
     pth = os.environ.get("TWINVOICE_PTH", "")
     if pth:
         seg = Segmenter.from_pth(pth, cfg.model, cfg.infer, dtype=jnp.bfloat16)
-    else:
+    elif ckpt:
         seg = Segmenter.from_checkpoint(ckpt, cfg.model, cfg.infer, dtype=jnp.bfloat16)
+    else:
+        from twinvoice_tpu.models import pretrained
+
+        seg = pretrained.load_pretrained_segmenter(infer_cfg=cfg.infer)
 
     engines = []
     space = OcrSpaceEngine()
