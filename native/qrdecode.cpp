@@ -823,6 +823,25 @@ int qr_decode_gray(const uint8_t* img, int h, int w, int stride,
   decode_pass(img, h, w, stride, /*smooth=*/true, results);
   if (results.empty())
     decode_pass(img, h, w, stride, /*smooth=*/false, results);
+  if (results.empty()) {
+    // low-contrast fallback: global min/max stretch to full range (the
+    // proportional binarizer assumes blacks near 0)
+    uint8_t lo = 255, hi = 0;
+    for (int y = 0; y < h; y++)
+      for (int x = 0; x < w; x++) {
+        uint8_t v = img[(size_t)y * stride + x];
+        lo = std::min(lo, v);
+        hi = std::max(hi, v);
+      }
+    if (hi > lo && (lo > 40 || hi < 215)) {
+      std::vector<uint8_t> st((size_t)h * w);
+      for (int y = 0; y < h; y++)
+        for (int x = 0; x < w; x++)
+          st[(size_t)y * w + x] =
+              (uint8_t)((img[(size_t)y * stride + x] - lo) * 255 / (hi - lo));
+      decode_pass(st.data(), h, w, w, /*smooth=*/true, results);
+    }
+  }
   int count = 0;
   size_t written = 0;
   for (auto& payload : results) {
