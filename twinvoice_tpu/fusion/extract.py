@@ -234,3 +234,117 @@ class InvoiceExtractor:
         result = (meta, items, qr_raw)
         self._cache[key] = result
         return result
+
+    # -- bulk path -----------------------------------------------------------
+
+    def extract_batch(self, pil_images) -> List[Tuple[dict, list, list]]:
+        """Process many invoices with batched device work: one segmenter
+        call for all images (when it exposes ``segment_pil_batch``) and one
+        recognizer call for all field crops (``read_batch``). QR decoding
+        and crop slicing stay per-image on host. Results are cache-coherent
+        with :meth:`extract`.
+        """
+        results: List = [None] * len(pil_images)
+        todo = []
+        for i, img in enumerate(pil_images):
+            key = image_content_key(img)
+            if key in self._cache:
+                results[i] = self._cache[key]
+            else:
+                todo.append(i)
+        if not todo:
+            return results
+
+        imgs = [pil_images[i] for i in todo]
+        logs = [FailureLog() for _ in todo]
+        if self.cfg.auto_rotate:
+            imgs = [
+                log.guarded("qr", auto_rotate_by_qr, im, default=im)
+                for im, log in zip(imgs, logs)
+            ]
+
+        # 1. QR per image (host)
+        qr_raws = []
+        for im, log in zip(imgs, logs):
+            if self.cfg.use_qr and self.qr is not None:
+                with trace_span("fusion.qr_scan"):
+                    qr_raws.append(log.guarded("qr", self.qr.scan, im, default=[]))
+            else:
+                qr_raws.append([])
+
+        # 2. segmentation, batched across invoices when supported
+        with trace_span("fusion.segment"):
+            if hasattr(self.segmenter, "segment_pil_batch"):
+                all_crops = [
+                    c for _, c in self.segmenter.segment_pil_batch(imgs)
+                ]
+            else:
+                all_crops = []
+                for im, log in zip(imgs, logs):
+                    _, crops = log.guarded(
+                        "segment", self.segmenter.segment_pil, im, default=({}, {})
+                    )
+                    all_crops.append(crops)
+
+        # 3. OCR: one read_batch per engine over every (invoice, field) crop
+        n_fields = len(FIELDS)
+        flat_crops = [
+            crops.get(f) for crops in all_crops for f in FIELDS
+        ]
+        modes = [_FIELD_MODES[f] for _ in all_crops for f in FIELDS]
+        per_engine_texts = []
+        with trace_span("fusion.ocr"):
+            for engine in self.engines:
+                if hasattr(engine, "read_batch"):
+                    outs = engine.read_batch(flat_crops, modes=modes)
+                    per_engine_texts.append([o.text if o else "" for o in outs])
+                else:
+                    texts = []
+                    for crop, mode in zip(flat_crops, modes):
+                        texts.append(
+                            engine.read(crop, mode=mode).text if crop is not None else ""
+                        )
+                    per_engine_texts.append(texts)
+
+        # 4. merge per invoice (same rules as extract())
+        for j, idx in enumerate(todo):
+            meta = empty_meta()
+            qr_raw = qr_raws[j]
+            meta["qr_raw"] = qr_raw
+            qr_invoice, qr_date = parse_header_qr(qr_raw)
+            items = parse_items_qr(qr_raw)
+            if qr_invoice:
+                meta["invoice_no"], meta["source"] = qr_invoice, "QR"
+            if qr_date:
+                meta["date"], meta["date_source"] = qr_date, "QR"
+
+            readings = {
+                f: [texts[j * n_fields + fi] for texts in per_engine_texts]
+                for fi, f in enumerate(FIELDS)
+            }
+            if not meta["invoice_no"]:
+                for text in readings["invoice_no"]:
+                    cand = clean_invoice_candidate(text) if text else None
+                    if cand:
+                        meta["invoice_no"], meta["source"] = cand, "merged_ocr"
+                        break
+            if not meta["date"]:
+                for text in readings["date"]:
+                    cand = clean_date_candidate(text) if text else None
+                    if cand:
+                        meta["date"], meta["date_source"] = cand, "merged_ocr"
+                        break
+            meta["total_amount"] = extract_amount(*readings["total_amount"])
+            meta["amount_source"] = "merged_ocr"
+            if self.cfg.adjust_items_to_total and items:
+                try:
+                    total = int(meta["total_amount"])
+                except (TypeError, ValueError):
+                    total = 0
+                if total > 0:
+                    items = adjust_items_to_total(items, total)
+            meta["failures"] = logs[j].as_dicts()
+            result = (meta, items, qr_raw)
+            self._cache[image_content_key(pil_images[idx])] = result
+            results[idx] = result
+        return results

@@ -131,6 +131,40 @@ class Segmenter:
             return self._run_from_raw(self.folded, imgs_u8, orig_sizes)
         return self._run(self.folded, imgs_u8, orig_sizes, return_masks=return_masks)
 
+    def segment_pil_batch(self, pil_images):
+        """Batched PIL path: ONE device call segments all images; crops are
+        sliced per image on host. Returns a list of (masks, crops) pairs
+        matching :meth:`segment_pil`'s contract (used by
+        fusion.InvoiceExtractor.extract_batch)."""
+        size = self.cfg.img_size
+        arrs = np.stack([
+            np.asarray(im.convert("RGB").resize((size, size)), np.uint8)
+            for im in pil_images
+        ])
+        sizes = np.asarray([im.size for im in pil_images], np.int32)  # (ow, oh)
+        mask, boxes, ok = self._run(self.folded, jnp.asarray(arrs), jnp.asarray(sizes))
+        mask = np.asarray(mask)
+        boxes = np.asarray(boxes)
+        ok = np.asarray(ok)
+
+        out = []
+        for bi, pil_img in enumerate(pil_images):
+            masks = {f: mask[bi, :, :, i] for i, f in enumerate(FIELDS)}
+            crops = {}
+            for i, f in enumerate(FIELDS):
+                if not ok[bi, i]:
+                    crops[f] = None
+                    continue
+                x1, y1, x2, y2 = (int(v) for v in boxes[bi, i])
+                crop = pil_img.crop((x1, y1, x2, y2))
+                carr = np.asarray(crop)
+                if carr.size == 0 or carr.mean() < self.cfg.black_crop_mean:
+                    crops[f] = None
+                    continue
+                crops[f] = crop
+            out.append((masks, crops))
+        return out
+
     # -- single-image PIL API (reference-parity surface) -------------------
 
     def segment_pil(self, pil_img):
