@@ -107,3 +107,22 @@ def test_trained_engine_reads_synthetic_fields():
     got = eng.read(img.crop((x1 - 4, y1 - 4, x2 + 4, y2 + 4)), mode="amount").text
     digits = "".join(c for c in got if c.isdigit())
     assert digits == "34567"
+
+
+@pytest.mark.skipif(not _weights_present(), reason="no trained weights")
+def test_confidence_separates_clean_from_noise():
+    from PIL import Image
+
+    from twinvoice_tpu.data.synthetic import render_invoice
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    eng = JaxOcrEngine()
+    img, boxes = render_invoice("AB12345678", "2025-09-09", 34567, seed=3)
+    x1, y1, x2, y2 = boxes["total_amount"]
+    clean = eng.read(img.crop((x1 - 4, y1 - 4, x2 + 4, y2 + 4)), mode="amount")
+    assert clean.text == "34567"
+    assert clean.confidence is not None and clean.confidence > 0.9
+
+    noise = np.random.default_rng(1).integers(0, 255, (30, 120, 3), dtype=np.uint8)
+    noisy = eng.read(Image.fromarray(noise))
+    assert (noisy.confidence or 0) < clean.confidence

@@ -66,9 +66,21 @@ class JaxOcrEngine:
         self._params = params
         self._state = state
         if params is not None:
-            self._infer = jax.jit(
-                lambda p, s, x: crnn_apply(p, s, x, train=False)[0]
-            )
+            import jax.numpy as jnp
+
+            def _infer(p, s, x):
+                logits = crnn_apply(p, s, x, train=False)[0]
+                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                ids = jnp.argmax(logits, axis=-1)
+                # confidence: mean top-1 probability over non-blank frames
+                top = jnp.max(probs, axis=-1)
+                nonblank = ids != 0
+                conf = jnp.sum(top * nonblank, axis=-1) / jnp.maximum(
+                    jnp.sum(nonblank, axis=-1), 1
+                )
+                return ids, conf
+
+            self._infer = jax.jit(_infer)
 
     def available(self) -> bool:
         return self._params is not None
@@ -90,8 +102,10 @@ class JaxOcrEngine:
         if not idx:
             return out
         batch = np.stack([prepared[i] for i in idx])[..., None]
-        logits = self._infer(self._params, self._state, jnp.asarray(batch))
-        ids = np.asarray(jnp.argmax(logits, axis=-1))
-        for row, i in zip(ids, idx):
-            out[i] = OcrResult(greedy_ctc_decode(row), self.name)
+        ids, conf = self._infer(self._params, self._state, jnp.asarray(batch))
+        ids = np.asarray(ids)
+        conf = np.asarray(conf)
+        for row, c, i in zip(ids, conf, idx):
+            text = greedy_ctc_decode(row)
+            out[i] = OcrResult(text, self.name, confidence=float(c) if text else 0.0)
         return out
