@@ -1,4 +1,5 @@
-// qrdecode.cpp — from-scratch QR decoder (ISO/IEC 18004), versions 1-10.
+// qrdecode.cpp — from-scratch QR decoder (ISO/IEC 18004), versions 1-40,
+// arbitrary in-plane rotation, perspective, and mirrored codes.
 //
 // Native replacement for the reference's QR path, which shells out to a Java
 // ZXing subprocess through temp PNG files (pyzxing; reference
@@ -155,12 +156,16 @@ bool rs_correct(std::vector<uint8_t>& block, int n_ec) {
 }
 
 // ---------------------------------------------------------------------------
-// Version tables (versions 1-10) — same spec data as the python encoder
+// Version tables (versions 1-40) — same spec data as the python encoder
+// (qr/encode.py _EC_TABLE/_ALIGN_POS; consistency vs module-geometry-derived
+// codeword totals asserted by tests/unit/test_qr_tables.py)
 // ---------------------------------------------------------------------------
+
+static const int MAX_VERSION = 40;
 
 struct ECEntry { int ec, g1b, g1dc, g2b, g2dc; };
 // index [version][level] with level order L,M,Q,H
-static const ECEntry EC_TABLE[11][4] = {
+static const ECEntry EC_TABLE[41][4] = {
     {},  // v0 unused
     {{7,1,19,0,0},{10,1,16,0,0},{13,1,13,0,0},{17,1,9,0,0}},
     {{10,1,34,0,0},{16,1,28,0,0},{22,1,22,0,0},{28,1,16,0,0}},
@@ -172,10 +177,52 @@ static const ECEntry EC_TABLE[11][4] = {
     {{24,2,97,0,0},{22,2,38,2,39},{22,4,18,2,19},{26,4,14,2,15}},
     {{30,2,116,0,0},{22,3,36,2,37},{20,4,16,4,17},{24,4,12,4,13}},
     {{18,2,68,2,69},{26,4,43,1,44},{24,6,19,2,20},{28,6,15,2,16}},
+    {{20,4,81,0,0},{30,1,50,4,51},{28,4,22,4,23},{24,3,12,8,13}},
+    {{24,2,92,2,93},{22,6,36,2,37},{26,4,20,6,21},{28,7,14,4,15}},
+    {{26,4,107,0,0},{22,8,37,1,38},{24,8,20,4,21},{22,12,11,4,12}},
+    {{30,3,115,1,116},{24,4,40,5,41},{20,11,16,5,17},{24,11,12,5,13}},
+    {{22,5,87,1,88},{24,5,41,5,42},{30,5,24,7,25},{24,11,12,7,13}},
+    {{24,5,98,1,99},{28,7,45,3,46},{24,15,19,2,20},{30,3,15,13,16}},
+    {{28,1,107,5,108},{28,10,46,1,47},{28,1,22,15,23},{28,2,14,17,15}},
+    {{30,5,120,1,121},{26,9,43,4,44},{28,17,22,1,23},{28,2,14,19,15}},
+    {{28,3,113,4,114},{26,3,44,11,45},{26,17,21,4,22},{26,9,13,16,14}},
+    {{28,3,107,5,108},{26,3,41,13,42},{30,15,24,5,25},{28,15,15,10,16}},
+    {{28,4,116,4,117},{26,17,42,0,0},{28,17,22,6,23},{30,19,16,6,17}},
+    {{28,2,111,7,112},{28,17,46,0,0},{30,7,24,16,25},{24,34,13,0,0}},
+    {{30,4,121,5,122},{28,4,47,14,48},{30,11,24,14,25},{30,16,15,14,16}},
+    {{30,6,117,4,118},{28,6,45,14,46},{30,11,24,16,25},{30,30,16,2,17}},
+    {{26,8,106,4,107},{28,8,47,13,48},{30,7,24,22,25},{30,22,15,13,16}},
+    {{28,10,114,2,115},{28,19,46,4,47},{28,28,22,6,23},{30,33,16,4,17}},
+    {{30,8,122,4,123},{28,22,45,3,46},{30,8,23,26,24},{30,12,15,28,16}},
+    {{30,3,117,10,118},{28,3,45,23,46},{30,4,24,31,25},{30,11,15,31,16}},
+    {{30,7,116,7,117},{28,21,45,7,46},{30,1,23,37,24},{30,19,15,26,16}},
+    {{30,5,115,10,116},{28,19,47,10,48},{30,15,24,25,25},{30,23,15,25,16}},
+    {{30,13,115,3,116},{28,2,46,29,47},{30,42,24,1,25},{30,23,15,28,16}},
+    {{30,17,115,0,0},{28,10,46,23,47},{30,10,24,35,25},{30,19,15,35,16}},
+    {{30,17,115,1,116},{28,14,46,21,47},{30,29,24,19,25},{30,11,15,46,16}},
+    {{30,13,115,6,116},{28,14,46,23,47},{30,44,24,7,25},{30,59,16,1,17}},
+    {{30,12,121,7,122},{28,12,47,26,48},{30,39,24,14,25},{30,22,15,41,16}},
+    {{30,6,121,14,122},{28,6,47,34,48},{30,46,24,10,25},{30,2,15,64,16}},
+    {{30,17,122,4,123},{28,29,46,14,47},{30,49,24,10,25},{30,24,15,46,16}},
+    {{30,4,122,18,123},{28,13,46,32,47},{30,48,24,14,25},{30,42,15,32,16}},
+    {{30,20,117,4,118},{28,40,47,7,48},{30,43,24,22,25},{30,10,15,67,16}},
+    {{30,19,118,6,119},{28,18,47,31,48},{30,34,24,34,25},{30,20,15,61,16}},
 };
-static const int ALIGN_POS[11][4] = {
+static const int ALIGN_POS[41][8] = {
     {0}, {0}, {2,6,18}, {2,6,22}, {2,6,26}, {2,6,30},
     {2,6,34}, {3,6,22,38}, {3,6,24,42}, {3,6,26,46}, {3,6,28,50},
+    {3,6,30,54}, {3,6,32,58}, {3,6,34,62},
+    {4,6,26,46,66}, {4,6,26,48,70}, {4,6,26,50,74},
+    {4,6,30,54,78}, {4,6,30,56,82}, {4,6,30,58,86}, {4,6,34,62,90},
+    {5,6,28,50,72,94}, {5,6,26,50,74,98}, {5,6,30,54,78,102},
+    {5,6,28,54,80,106}, {5,6,32,58,84,110}, {5,6,30,58,86,114},
+    {5,6,34,62,90,118},
+    {6,6,26,50,74,98,122}, {6,6,30,54,78,102,126}, {6,6,26,52,78,104,130},
+    {6,6,30,56,82,108,134}, {6,6,34,60,86,112,138}, {6,6,30,58,86,114,142},
+    {6,6,34,62,90,118,146},
+    {7,6,30,54,78,102,126,150}, {7,6,24,50,76,102,128,154},
+    {7,6,28,54,80,106,132,158}, {7,6,32,58,84,110,136,162},
+    {7,6,26,54,82,110,138,166}, {7,6,30,58,86,114,142,170},
 };  // first entry = count
 
 // format info: 15 bits; decode by minimum hamming distance over all 32 codes
@@ -278,7 +325,9 @@ bool ratio_ok(const int r[5]) {
 }
 
 // verify the 1:1:3:1:1 ratio vertically through (cx, cy); returns center y
-bool cross_check(const Bitmap& bm, int cx, int cy, double module, double* out_cy) {
+// and (optionally) the vertical-cut module estimate
+bool cross_check(const Bitmap& bm, int cx, int cy, double module, double* out_cy,
+                 double* out_module = nullptr) {
   int h = bm.h;
   int runs[5] = {0, 0, 0, 0, 0};
   int y = cy;
@@ -292,6 +341,32 @@ bool cross_check(const Bitmap& bm, int cx, int cy, double module, double* out_cy
   while (y < h && bm.at(y, cx) && runs[4] < 3 * module) { runs[4]++; y++; }
   if (!ratio_ok(runs)) return false;
   *out_cy = top + runs[0] + runs[1] + runs[2] / 2.0 + 0.5;
+  if (out_module)
+    *out_module = (runs[0] + runs[1] + runs[2] + runs[3] + runs[4]) / 7.0;
+  return true;
+}
+
+// verify the 1:1:3:1:1 ratio along one diagonal through (cx, cy). A real
+// finder (concentric squares) shows the ratio on every cut through its
+// center — √2-scaled on the diagonal, which ratio_ok is scale-free about.
+// Data-region false positives almost never survive H+V+diagonal together
+// (ZXing's crossCheckDiagonal trick).
+bool cross_check_diag(const Bitmap& bm, int cx, int cy, double module,
+                      double* out_module = nullptr) {
+  double lim = 5 * module;  // diagonal runs are up to ~√2 longer
+  int runs[5] = {0, 0, 0, 0, 0};
+  int i = 0;
+  while (bm.at(cy - i, cx - i) && i <= cy && i <= cx) { runs[2]++; i++; }
+  while (bm.at(cy - i, cx - i) == 0 && i <= cy && i <= cx && runs[1] < lim) { runs[1]++; i++; }
+  while (bm.at(cy - i, cx - i) && i <= cy && i <= cx && runs[0] < lim) { runs[0]++; i++; }
+  i = 1;
+  while (bm.at(cy + i, cx + i) && cy + i < bm.h && cx + i < bm.w) { runs[2]++; i++; }
+  while (bm.at(cy + i, cx + i) == 0 && cy + i < bm.h && cx + i < bm.w && runs[3] < lim) { runs[3]++; i++; }
+  while (bm.at(cy + i, cx + i) && cy + i < bm.h && cx + i < bm.w && runs[4] < lim) { runs[4]++; i++; }
+  if (!ratio_ok(runs)) return false;
+  if (out_module)
+    *out_module = (runs[0] + runs[1] + runs[2] + runs[3] + runs[4]) *
+                  1.41421356237 / 7.0;
   return true;
 }
 
@@ -327,8 +402,17 @@ std::vector<Finder> find_finders(const Bitmap& bm) {
             // x - r4 - r3 - r2/2
             double cx = x - (r[4] + r[3] + r[2] / 2.0);
             double module = total / 7.0;
-            double cy_ref;
-            if (cross_check(bm, (int)cx, y, module, &cy_ref)) {
+            double cy_ref, mv = module, md = module;
+            if (cross_check(bm, (int)cx, y, module, &cy_ref, &mv) &&
+                cross_check_diag(bm, (int)cx, (int)std::lround(cy_ref), module,
+                                 &md)) {
+              // under in-plane rotation θ every axis-aligned cut inflates the
+              // run lengths by 1/cos(angle to the nearest pattern axis); of
+              // the H/V/diagonal cuts one is always within 22.5°, so the MIN
+              // of the three estimates is within 8.3% of the true module —
+              // the H-only estimate is off by up to 41%, which at v17+ mis-
+              // sizes the grid by whole versions.
+              module = std::min({module, mv, md});
               bool merged = false;
               for (auto& f : out) {
                 // same pattern only if position AND module size agree —
@@ -375,20 +459,7 @@ struct Grid {
   }
 };
 
-// solve perspective transform from 4 (u,v)->(x,y) pairs
-bool solve_perspective(const double uv[4][2], const double xy[4][2], double c[8]) {
-  // build 8x8 linear system
-  double A[8][9];
-  for (int i = 0; i < 4; i++) {
-    double u = uv[i][0], v = uv[i][1], x = xy[i][0], y = xy[i][1];
-    double* r1 = A[2 * i];
-    double* r2 = A[2 * i + 1];
-    r1[0] = u; r1[1] = v; r1[2] = 1; r1[3] = 0; r1[4] = 0; r1[5] = 0;
-    r1[6] = -u * x; r1[7] = -v * x; r1[8] = x;
-    r2[0] = 0; r2[1] = 0; r2[2] = 0; r2[3] = u; r2[4] = v; r2[5] = 1;
-    r2[6] = -u * y; r2[7] = -v * y; r2[8] = y;
-  }
-  // gaussian elimination
+static bool gauss_solve8(double A[8][9], double c[8]) {
   for (int col = 0; col < 8; col++) {
     int piv = col;
     for (int r = col + 1; r < 8; r++)
@@ -404,6 +475,48 @@ bool solve_perspective(const double uv[4][2], const double xy[4][2], double c[8]
   }
   for (int i = 0; i < 8; i++) c[i] = A[i][8] / A[i][i];
   return true;
+}
+
+// solve perspective transform from 4 (u,v)->(x,y) pairs
+bool solve_perspective(const double uv[4][2], const double xy[4][2], double c[8]) {
+  // build 8x8 linear system
+  double A[8][9];
+  for (int i = 0; i < 4; i++) {
+    double u = uv[i][0], v = uv[i][1], x = xy[i][0], y = xy[i][1];
+    double* r1 = A[2 * i];
+    double* r2 = A[2 * i + 1];
+    r1[0] = u; r1[1] = v; r1[2] = 1; r1[3] = 0; r1[4] = 0; r1[5] = 0;
+    r1[6] = -u * x; r1[7] = -v * x; r1[8] = x;
+    r2[0] = 0; r2[1] = 0; r2[2] = 0; r2[3] = u; r2[4] = v; r2[5] = 1;
+    r2[6] = -u * y; r2[7] = -v * y; r2[8] = y;
+  }
+  return gauss_solve8(A, c);
+}
+
+// least-squares homography from >=4 (u,v)->(x,y) pairs (normal equations).
+// `pts` is packed (u, v, x, y). Used to fit the sampling grid to ALL detected
+// alignment patterns at large versions, where a 3-finder+1-alignment exact
+// solve leaves too much drift at the far corner.
+bool solve_homography_ls(const std::vector<double>& pts, double c[8]) {
+  size_t np = pts.size() / 4;
+  if (np < 4) return false;
+  double AtA[8][8] = {{0}}, Atb[8] = {0};
+  for (size_t p = 0; p < np; p++) {
+    double u = pts[4 * p], v = pts[4 * p + 1];
+    double x = pts[4 * p + 2], y = pts[4 * p + 3];
+    double r1[8] = {u, v, 1, 0, 0, 0, -u * x, -v * x};
+    double r2[8] = {0, 0, 0, u, v, 1, -u * y, -v * y};
+    for (int a = 0; a < 8; a++) {
+      for (int b = 0; b < 8; b++) AtA[a][b] += r1[a] * r1[b] + r2[a] * r2[b];
+      Atb[a] += r1[a] * x + r2[a] * y;
+    }
+  }
+  double A[8][9];
+  for (int i = 0; i < 8; i++) {
+    for (int j = 0; j < 8; j++) A[i][j] = AtA[i][j];
+    A[i][8] = Atb[i];
+  }
+  return gauss_solve8(A, c);
 }
 
 int sample(const Bitmap& bm, const Grid& g, int row, int col) {
@@ -565,7 +678,7 @@ bool parse_bitstream(const std::vector<uint8_t>& data, int version, std::string*
     int mode = get(4);
     if (mode <= 0) break;          // terminator / exhausted
     if (mode == 0b0001) {          // numeric
-      int cnt = get(version <= 9 ? 10 : 12);
+      int cnt = get(version <= 9 ? 10 : (version <= 26 ? 12 : 14));
       if (cnt < 0) return false;
       while (cnt >= 3) { int v = get(10); if (v < 0) return false;
         res += (char)('0' + v / 100); res += (char)('0' + (v / 10) % 10);
@@ -575,7 +688,7 @@ bool parse_bitstream(const std::vector<uint8_t>& data, int version, std::string*
       else if (cnt == 1) { int v = get(4); if (v < 0) return false;
         res += (char)('0' + v); }
     } else if (mode == 0b0010) {   // alphanumeric
-      int cnt = get(version <= 9 ? 9 : 11);
+      int cnt = get(version <= 9 ? 9 : (version <= 26 ? 11 : 13));
       if (cnt < 0) return false;
       while (cnt >= 2) { int v = get(11); if (v < 0) return false;
         res += ALNUM[v / 45]; res += ALNUM[v % 45]; cnt -= 2; }
@@ -592,7 +705,7 @@ bool parse_bitstream(const std::vector<uint8_t>& data, int version, std::string*
       else if ((first & 0xC0) == 0x80) { if (get(8) < 0) return false; }
       else { if (get(16) < 0) return false; }
     } else if (mode == 0b1000) {   // kanji: decode as raw shift-JIS bytes
-      int cnt = get(version <= 9 ? 8 : 10);
+      int cnt = get(version <= 9 ? 8 : (version <= 26 ? 10 : 12));
       if (cnt < 0) return false;
       for (int i = 0; i < cnt; i++) { int v = get(13); if (v < 0) return false;
         res += (char)(v >> 8); res += (char)(v & 0xFF); }
@@ -631,47 +744,58 @@ bool refine_finder(const Bitmap& bm, Finder* f) {
     if (!ratio_ok(r)) return false;
     f->x = left + r[0] + r[1] + r[2] / 2.0 + 0.5;
     double hmod = (r[0] + r[1] + r[2] + r[3] + r[4]) / 7.0;
-    double vy;
-    if (!cross_check(bm, (int)std::lround(f->x), cy, f->module, &vy)) return false;
+    double vy, vmod = hmod;
+    if (!cross_check(bm, (int)std::lround(f->x), cy, f->module, &vy, &vmod))
+      return false;
     f->y = vy;
-    f->module = (f->module + hmod) / 2.0;
+    // keep the smallest module estimate seen — axis-aligned cuts only ever
+    // inflate it under rotation (see find_finders)
+    f->module = std::min({f->module, hmod, vmod});
   }
   return true;
 }
 
-// try to decode one QR given three finder centers
-bool decode_triple(const Bitmap& bm, const Finder& f0, const Finder& f1,
-                   const Finder& f2, std::string* out) {
-  // identify the corner (top-left): the finder where the angle is ~90°,
-  // i.e. the one whose distances to the two others are similar and whose
-  // opposite side is the longest
-  const Finder* tl;
-  const Finder* a;
-  const Finder* b;
-  double d01 = dist(f0, f1), d02 = dist(f0, f2), d12 = dist(f1, f2);
-  if (d12 >= d01 && d12 >= d02) { tl = &f0; a = &f1; b = &f2; }
-  else if (d02 >= d01 && d02 >= d12) { tl = &f1; a = &f0; b = &f2; }
-  else { tl = &f2; a = &f0; b = &f1; }
-  // orient: cross product decides which of a/b is top-right vs bottom-left
-  double ax = a->x - tl->x, ay = a->y - tl->y;
-  double bx = b->x - tl->x, by = b->y - tl->y;
-  const Finder* tr;
-  const Finder* bl;
-  if (ax * by - ay * bx > 0) { tr = a; bl = b; }
-  else { tr = b; bl = a; }
+// BCH(18,6) version-info codeword, generator 0x1F25 (matches the encoder's
+// _version_bits, qr/encode.py)
+static int version_info_bits(int v) {
+  int val = v << 12;
+  int g = 0b1111100100101;
+  for (int bit = 17; bit >= 12; bit--)
+    if (val & (1 << bit)) val ^= g << (bit - 12);
+  return (v << 12) | val;
+}
 
-  Finder rtl = *tl, rtr = *tr, rbl = *bl;
-  if (refine_finder(bm, &rtl)) tl = &rtl;
-  if (refine_finder(bm, &rtr)) tr = &rtr;
-  if (refine_finder(bm, &rbl)) bl = &rbl;
+// Sample the two 18-bit version-info blocks (v>=7) through a provisional
+// grid and BCH-decode with <=3 bit errors. Near the anchoring finders the
+// provisional grid is accurate even when its assumed n is off by a version
+// or two, so this pins the version before the expensive sampling loop.
+static int read_version_info(const Bitmap& bm, const Grid& g, int n) {
+  int b_tr = 0, b_bl = 0;
+  for (int i = 0; i < 18; i++) {
+    // encoder places bit i at (i/3, n-11+i%3) and its transpose
+    b_tr |= sample(bm, g, i / 3, n - 11 + i % 3) << i;
+    b_bl |= sample(bm, g, n - 11 + i % 3, i / 3) << i;
+  }
+  int best = -1, best_d = 4;
+  for (int v = 7; v <= MAX_VERSION; v++) {
+    int ref = version_info_bits(v);
+    int d = std::min(__builtin_popcount(b_tr ^ ref),
+                     __builtin_popcount(b_bl ^ ref));
+    if (d < best_d) { best_d = d; best = v; }
+  }
+  return best;
+}
 
+// one full decode attempt for a fixed finder-role assignment (tl, tr, bl)
+bool decode_oriented(const Bitmap& bm, const Finder* tl, const Finder* tr,
+                     const Finder* bl, std::string* out) {
   double module = (tl->module + tr->module + bl->module) / 3.0;
   if (module <= 0) return false;
   double side = (dist(*tl, *tr) + dist(*tl, *bl)) / 2.0;
   int n_est = (int)std::lround(side / module) + 7;
   // snap to valid sizes 21 + 4k
   int best_version = -1, best_err = 1 << 30;
-  for (int v = 1; v <= 10; v++) {
+  for (int v = 1; v <= MAX_VERSION; v++) {
     int n = 17 + 4 * v;
     int err = std::abs(n - n_est);
     if (err < best_err) { best_err = err; best_version = v; }
@@ -682,50 +806,82 @@ bool decode_triple(const Bitmap& bm, const Finder& f0, const Finder& f1,
   }
   if (qr_debug()) fprintf(stderr, "[qrdecode] n_est=%d try v=%d..\n", n_est, best_version);
 
-  for (int version = std::max(1, best_version - 2);
-       version <= std::min(10, best_version + 2); version++) {
-    int n = 17 + 4 * version;
+  auto grid_for = [&](int n, Grid* g) -> bool {
     // perspective from the three finder centers (+ inferred 4th corner):
     // finder centers sit at module coords (3.5, 3.5), (n-3.5, 3.5), (3.5, n-3.5)
     double uv[4][2] = {{3.5, 3.5}, {n - 3.5, 3.5}, {3.5, n - 3.5},
                        {n - 3.5, n - 3.5}};
     double xy[4][2] = {{tl->x, tl->y}, {tr->x, tr->y}, {bl->x, bl->y},
                        {tr->x + bl->x - tl->x, tr->y + bl->y - tl->y}};
-    Grid g;
-    g.n = n;
-    if (!solve_perspective(uv, xy, g.c)) continue;
+    g->n = n;
+    return solve_perspective(uv, xy, g->c);
+  };
 
-    // refine with the bottom-right alignment pattern when present (v >= 2):
-    // center at (n-6.5, n-6.5); search nearby for a dark module centre
+  // candidate version list: a readable version-info block (v>=7) wins,
+  // else +-2 around the size estimate
+  std::vector<int> cands;
+  if (best_version >= 6) {
+    Grid g0;
+    if (grid_for(17 + 4 * best_version, &g0)) {
+      int vi = read_version_info(bm, g0, g0.n);
+      if (vi >= 7 && std::abs((17 + 4 * vi) - n_est) <= 10) {
+        cands.push_back(vi);
+        if (qr_debug()) fprintf(stderr, "[qrdecode] version info -> v=%d\n", vi);
+      }
+    }
+  }
+  for (int v = best_version - 2; v <= best_version + 2; v++)
+    if (v >= 1 && v <= MAX_VERSION && (cands.empty() || v != cands[0]))
+      cands.push_back(v);
+
+  for (int version : cands) {
+    int n = 17 + 4 * version;
+    Grid g;
+    if (!grid_for(n, &g)) continue;
+
+    // refine the grid against every alignment pattern we can find (v >= 2):
+    // least-squares homography over {3 finder centers} ∪ {found alignments}.
+    // One bottom-right alignment suffices at small versions; large versions
+    // need the full constellation to keep far-corner sampling on-grid.
     if (version >= 2) {
-      double ex = g.px(n - 6.5, n - 6.5), ey = g.py(n - 6.5, n - 6.5);
       double m_px = side / (n - 7);
-      // centroid of all pixels that look like the alignment core (dark with a
-      // light ring one module away) — first-match would bias toward the
-      // core's top-left edge and skew the bottom-right of the grid
-      double sx_acc = 0, sy_acc = 0;
-      int n_acc = 0;
-      for (int dy = (int)(-2 * m_px); dy <= 2 * m_px; dy++) {
-        for (int dx = (int)(-2 * m_px); dx <= 2 * m_px; dx++) {
-          int x = (int)std::lround(ex + dx), y = (int)std::lround(ey + dy);
-          if (bm.at(y, x) &&
-              !bm.at((int)(y - m_px), x) && !bm.at((int)(y + m_px), x) &&
-              !bm.at(y, (int)(x - m_px)) && !bm.at(y, (int)(x + m_px))) {
-            sx_acc += x + 0.5; sy_acc += y + 0.5; n_acc++;
+      std::vector<double> pts = {3.5, 3.5, tl->x, tl->y,
+                                 n - 3.5, 3.5, tr->x, tr->y,
+                                 3.5, n - 3.5, bl->x, bl->y};
+      int cnt = ALIGN_POS[version][0];
+      int lo = ALIGN_POS[version][1], hi = ALIGN_POS[version][cnt];
+      for (int i = 1; i <= cnt; i++) {
+        for (int j = 1; j <= cnt; j++) {
+          int ar = ALIGN_POS[version][i], ac = ALIGN_POS[version][j];
+          if ((ar == lo && ac == lo) || (ar == lo && ac == hi) ||
+              (ar == hi && ac == lo))
+            continue;
+          double ex = g.px(ac + 0.5, ar + 0.5), ey = g.py(ac + 0.5, ar + 0.5);
+          // centroid of all pixels that look like the alignment core (dark
+          // with a light ring one module away) — first-match would bias
+          // toward the core's top-left edge and skew the grid
+          double sx_acc = 0, sy_acc = 0;
+          int n_acc = 0;
+          int rad = (int)(2 * m_px);
+          for (int dy = -rad; dy <= rad; dy++) {
+            for (int dx = -rad; dx <= rad; dx++) {
+              int x = (int)std::lround(ex + dx), y = (int)std::lround(ey + dy);
+              if (bm.at(y, x) &&
+                  !bm.at((int)(y - m_px), x) && !bm.at((int)(y + m_px), x) &&
+                  !bm.at(y, (int)(x - m_px)) && !bm.at(y, (int)(x + m_px))) {
+                sx_acc += x + 0.5; sy_acc += y + 0.5; n_acc++;
+              }
+            }
           }
+          if (n_acc > 0)
+            pts.insert(pts.end(),
+                       {ac + 0.5, ar + 0.5, sx_acc / n_acc, sy_acc / n_acc});
         }
       }
-      bool found = n_acc > 0;
-      double best_x = found ? sx_acc / n_acc : ex;
-      double best_y = found ? sy_acc / n_acc : ey;
-      if (found) {
-        double uv2[4][2] = {{3.5, 3.5}, {n - 3.5, 3.5}, {3.5, n - 3.5},
-                            {n - 6.5, n - 6.5}};
-        double xy2[4][2] = {{tl->x, tl->y}, {tr->x, tr->y}, {bl->x, bl->y},
-                            {best_x, best_y}};
+      if (pts.size() / 4 >= 4) {
         Grid g2;
         g2.n = n;
-        if (solve_perspective(uv2, xy2, g2.c)) g = g2;
+        if (solve_homography_ls(pts, g2.c)) g = g2;
       }
     }
 
@@ -771,6 +927,37 @@ bool decode_triple(const Bitmap& bm, const Finder& f0, const Finder& f1,
     return true;
   }
   return false;
+}
+
+// try to decode one QR given three finder centers: pick the top-left corner
+// geometrically (largest opposite side), orient via cross product, and fall
+// back to the mirrored role assignment when the normal one fails — in a
+// mirrored image top-right and bottom-left swap (ZXing-style mirror retry;
+// the reference's decode path inherits this from ZXing, app_camera.py:464).
+bool decode_triple(const Bitmap& bm, const Finder& f0, const Finder& f1,
+                   const Finder& f2, std::string* out) {
+  const Finder* tl;
+  const Finder* a;
+  const Finder* b;
+  double d01 = dist(f0, f1), d02 = dist(f0, f2), d12 = dist(f1, f2);
+  if (d12 >= d01 && d12 >= d02) { tl = &f0; a = &f1; b = &f2; }
+  else if (d02 >= d01 && d02 >= d12) { tl = &f1; a = &f0; b = &f2; }
+  else { tl = &f2; a = &f0; b = &f1; }
+  // orient: cross product decides which of a/b is top-right vs bottom-left
+  double ax = a->x - tl->x, ay = a->y - tl->y;
+  double bx = b->x - tl->x, by = b->y - tl->y;
+  const Finder* tr;
+  const Finder* bl;
+  if (ax * by - ay * bx > 0) { tr = a; bl = b; }
+  else { tr = b; bl = a; }
+
+  Finder rtl = *tl, rtr = *tr, rbl = *bl;
+  if (refine_finder(bm, &rtl)) tl = &rtl;
+  if (refine_finder(bm, &rtr)) tr = &rtr;
+  if (refine_finder(bm, &rbl)) bl = &rbl;
+
+  if (decode_oriented(bm, tl, tr, bl, out)) return true;
+  return decode_oriented(bm, tl, bl, tr, out);
 }
 
 }  // namespace

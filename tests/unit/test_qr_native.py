@@ -95,3 +95,61 @@ def test_rgb_input_and_blank():
     assert PAYLOAD in native.decode(rgb)
     assert native.decode(np.full((100, 100), 255, np.uint8)) == []
     assert native.decode(np.zeros((10, 10), np.uint8)) == []  # below min size
+
+
+def _padded(payload, px=5, margin=50, **kw):
+    qr = render_qr(payload, module_px=px, **kw)
+    out = np.full((qr.shape[0] + 2 * margin, qr.shape[1] + 2 * margin), 255,
+                  np.uint8)
+    out[margin:margin + qr.shape[0], margin:margin + qr.shape[1]] = qr
+    return out
+
+
+@pytest.mark.parametrize("angle", [30, 75, 150, 225, 295, 340])
+def test_arbitrary_rotation(angle):
+    """Full in-plane rotation envelope (VERDICT r1 #6; ZXing handles any
+    angle, reference app_camera.py:464)."""
+    import cv2
+
+    img = _padded(PAYLOAD)
+    h, w = img.shape
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), angle, 1.0)
+    rot = cv2.warpAffine(img, m, (w, h), borderValue=255)
+    assert PAYLOAD in native.decode(rot)
+
+
+def test_mirrored():
+    """Mirrored codes decode via the swapped TR/BL retry (ZXing parity)."""
+    img = _padded(PAYLOAD)
+    assert PAYLOAD in native.decode(img[:, ::-1].copy())
+    assert PAYLOAD in native.decode(img[::-1, :].copy())
+
+
+@pytest.mark.parametrize("target_version", [11, 14, 25, 40])
+def test_high_version_roundtrip(target_version):
+    """Versions 11-40: long TEXT-QR payloads exceed v10 capacity
+    (VERDICT r1 #6)."""
+    from twinvoice_tpu.qr.encode import pick_version
+
+    payload = None
+    for ln in range(1, 3000):
+        try:
+            if pick_version(ln, "M") == target_version:
+                payload = "TX" + "A1:" * (ln // 3) + "Z" * (ln % 3)
+                payload = payload[:ln]
+                break
+        except ValueError:
+            break
+    assert payload is not None
+    assert payload in native.decode(_padded(payload, px=4))
+
+
+def test_high_version_rotated():
+    import cv2
+
+    payload = "**" + ":".join(f"item{i}:1:{i}" for i in range(40))
+    img = _padded(payload, px=5, margin=60)
+    h, w = img.shape
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), 37, 1.0)
+    rot = cv2.warpAffine(img, m, (w, h), borderValue=255)
+    assert payload in native.decode(rot)
