@@ -75,7 +75,8 @@ def test_weights_roundtrip(tmp_path):
     params, state = init_crnn(jax.random.key(5))
     path = str(tmp_path / "w.npz")
     save_weights(path, params, state)
-    p2, s2 = load_weights(path)
+    p2, s2, cs = load_weights(path)
+    assert cs.num_classes == len(cs.chars) + 1
     a = jax.tree.leaves(params)[0]
     b = jax.tree.leaves(p2)[0]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
@@ -126,3 +127,38 @@ def test_confidence_separates_clean_from_noise():
     noise = np.random.default_rng(1).integers(0, 255, (30, 120, 3), dtype=np.uint8)
     noisy = eng.read(Image.fromarray(noise))
     assert (noisy.confidence or 0) < clean.confidence
+
+
+def test_cjk_charset_and_data():
+    """CJK charset: every stroke-font glyph encodable; CJK batch renders ink
+    and labels round-trip (VERDICT r1 #4)."""
+    from twinvoice_tpu.ocr.jaxocr.charset import cjk_charset
+    from twinvoice_tpu.ocr.jaxocr import data as D
+
+    cs = cjk_charset()
+    assert cs.num_classes > 300
+    ids = cs.encode_text("珍珠奶茶 55")
+    assert len(ids) == 7 and cs.decode_ids(ids) == "珍珠奶茶 55"
+
+    rng = np.random.default_rng(0)
+    imgs, labels, pad, texts = D.make_batch(8, rng, cs)
+    assert any(any(ord(c) > 0x2E00 for c in t) for t in texts)
+    assert (imgs < 0.5).any()  # ink present
+    for i, t in enumerate(texts):
+        n = int((pad[i] == 0).sum())
+        assert cs.decode_ids(labels[i, :n]) == t
+
+
+def test_cjk_weights_roundtrip(tmp_path):
+    import jax
+
+    from twinvoice_tpu.ocr.jaxocr.charset import cjk_charset
+    from twinvoice_tpu.ocr.jaxocr.model import init_crnn
+    from twinvoice_tpu.ocr.jaxocr.train import load_weights, save_weights
+
+    cs = cjk_charset()
+    params, state = init_crnn(jax.random.key(1), num_classes=cs.num_classes)
+    path = str(tmp_path / "w.npz")
+    save_weights(path, params, state, cs)
+    p2, s2, cs2 = load_weights(path)
+    assert cs2.chars == cs.chars

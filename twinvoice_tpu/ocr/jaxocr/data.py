@@ -15,12 +15,42 @@ from typing import List
 
 import numpy as np
 
-from twinvoice_tpu.ocr.jaxocr.charset import CHARSET, encode_text
+from twinvoice_tpu.ocr.jaxocr.charset import CHARSET, Charset, DEFAULT, encode_text
 from twinvoice_tpu.ocr.jaxocr.model import IMG_H, IMG_W
 
 MAX_LABEL = 24
 
 _FONT_PATHS = sorted(glob.glob("/usr/share/fonts/truetype/dejavu/*.ttf"))
+
+# Realistic TW receipt item names / labels, drawn from the classifier keyword
+# vocabulary (fusion/classify.py) and common e-invoice text — all covered by
+# the in-repo stroke font. Random glyph combos are mixed in so the model
+# can't memorize this list.
+_CJK_NAMES = (
+    "珍珠奶茶 紅茶拿鐵 火腿吐司 雞排 鍋燒麵 咖啡 拿鐵 漢堡 壽司 炸雞 "
+    "便當 飲料 餐飲 加油 停車費 捷運 高鐵 火車 公車 計程車 水費 電費 "
+    "瓦斯 管理費 醫院 藥局 全家 蝦皮 商城 家樂福 發票 號碼 日期 總計 "
+    "金額 統一編號 品名 數量 單價 合計 測試品項 電子發票證明聯 未分類 "
+    "購物 生活 交通 美式咖啡 燒餅 油條 豆漿 麵包 餅乾 奶茶 紅豆餅"
+).split()
+
+
+def _cjk_pool(charset: Charset):
+    return [c for c in charset.chars if ord(c) > 0x2E00]
+
+
+def random_cjk_text(rng: np.random.Generator, charset: Charset) -> str:
+    """Item-name-shaped CJK (optionally mixed with qty/price digits)."""
+    kind = rng.integers(0, 4)
+    if kind <= 1:  # realistic vocabulary name
+        name = _CJK_NAMES[int(rng.integers(0, len(_CJK_NAMES)))]
+        name = "".join(c for c in name if c in charset._to_id) or "品項"
+    else:  # random combo — forces per-glyph recognition
+        pool = _cjk_pool(charset)
+        name = "".join(rng.choice(pool, int(rng.integers(2, 5))))
+    if kind == 3 and rng.random() < 0.7:  # "name qty price"-ish line
+        return f"{name} {rng.integers(1, 9)} {rng.integers(10, 999)}"
+    return name
 
 
 @lru_cache(maxsize=64)
@@ -30,8 +60,11 @@ def _font(path, size):
     return ImageFont.truetype(path, size)
 
 
-def random_field_text(rng: np.random.Generator) -> str:
-    """Sample a string shaped like one of the three invoice fields."""
+def random_field_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> str:
+    """Sample a string shaped like one of the three invoice fields (or, when
+    the charset covers CJK, like an item-name line ~35% of the time)."""
+    if len(charset.chars) > len(CHARSET) and rng.random() < 0.35:
+        return random_cjk_text(rng, charset)
     kind = rng.integers(0, 6)
     letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     if kind in (0, 5):  # invoice number, possibly hyphenated (oversampled)
@@ -60,9 +93,19 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
     size = int(rng.integers(18, 30))
     font = _font(_FONT_PATHS[int(rng.integers(0, len(_FONT_PATHS)))], size)
     pad = 8
-    canvas = Image.new("L", (IMG_W * 2, IMG_H * 2), 255)
+    canvas = Image.new("L", (IMG_W * 2 + 64 * len(text), IMG_H * 2), 255)
     draw = ImageDraw.Draw(canvas)
-    draw.text((pad, pad), text, fill=int(rng.integers(0, 80)), font=font)
+    fill = int(rng.integers(0, 80))
+    if any(ord(c) > 0x2E00 for c in text):
+        # CJK (or mixed) line: stroke-font glyphs + PIL font for ASCII
+        from twinvoice_tpu.ocr import fonts
+
+        fonts.draw_text(
+            draw, (pad, pad), text, size, fill=fill, ascii_font=font,
+            weight=float(rng.uniform(5.0, 8.0)),
+        )
+    else:
+        draw.text((pad, pad), text, fill=fill, font=font)
     arr = np.asarray(canvas)
     ys, xs = np.where(arr < 250)
     if len(xs) == 0:
@@ -99,17 +142,18 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-def make_batch(batch_size: int, rng: np.random.Generator):
+def make_batch(batch_size: int, rng: np.random.Generator,
+               charset: Charset = DEFAULT):
     """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts)."""
     imgs = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
     labels = np.zeros((batch_size, MAX_LABEL), np.int32)
     pad = np.ones((batch_size, MAX_LABEL), np.float32)
     texts: List[str] = []
     for i in range(batch_size):
-        text = random_field_text(rng)
-        ids = encode_text(text)[:MAX_LABEL]
+        text = random_field_text(rng, charset)
+        ids = charset.encode_text(text)[:MAX_LABEL]
         text = "".join(
-            c for c in text.upper() if encode_text(c)
+            c for c in text.upper() if charset.encode_text(c)
         )[: len(ids)]  # keep label/text consistent
         imgs[i, :, :, 0] = render_line(text, rng).astype(np.float32) / 255.0
         labels[i, : len(ids)] = ids

@@ -13,7 +13,7 @@ from typing import Optional
 import numpy as np
 
 from twinvoice_tpu.ocr.base import OcrResult
-from twinvoice_tpu.ocr.jaxocr.charset import greedy_ctc_decode
+from twinvoice_tpu.ocr.jaxocr.charset import DEFAULT, Charset
 from twinvoice_tpu.ocr.jaxocr.model import IMG_H, IMG_W, crnn_apply
 
 
@@ -51,16 +51,18 @@ def prepare_crop(image) -> Optional[np.ndarray]:
 class JaxOcrEngine:
     name = "jaxocr"
 
-    def __init__(self, weights_dir: Optional[str] = None, params=None, state=None):
+    def __init__(self, weights_dir: Optional[str] = None, params=None, state=None,
+                 charset: Charset = DEFAULT):
         import jax
 
         self._jax = jax
+        self.charset = charset
         if params is None:
             from twinvoice_tpu.ocr.jaxocr.train import DEFAULT_WEIGHTS_PATH, load_weights
 
             wd = weights_dir or DEFAULT_WEIGHTS_PATH
             try:
-                params, state = load_weights(wd)
+                params, state, self.charset = load_weights(wd)
             except Exception:
                 params = state = None
         self._params = params
@@ -106,6 +108,6 @@ class JaxOcrEngine:
         ids = np.asarray(ids)
         conf = np.asarray(conf)
         for row, c, i in zip(ids, conf, idx):
-            text = greedy_ctc_decode(row)
+            text = self.charset.greedy_ctc_decode(row)
             out[i] = OcrResult(text, self.name, confidence=float(c) if text else 0.0)
         return out

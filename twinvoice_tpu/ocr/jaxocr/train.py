@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from twinvoice_tpu.ocr.jaxocr import data as D
-from twinvoice_tpu.ocr.jaxocr.charset import greedy_ctc_decode
+from twinvoice_tpu.ocr.jaxocr.charset import CHARSET, Charset, DEFAULT
 from twinvoice_tpu.ocr.jaxocr.model import crnn_apply, init_crnn
 
 DEFAULT_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights.npz")
@@ -44,17 +44,17 @@ def make_train_step(optimizer):
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
-def evaluate(params, state, rng, n_batches=4, batch_size=64):
+def evaluate(params, state, rng, n_batches=4, batch_size=64, charset=DEFAULT):
     """→ (exact-match rate, char error rate) on fresh synthetic batches."""
     infer = jax.jit(lambda p, s, x: crnn_apply(p, s, x, train=False)[0])
     exact = total = 0
     errs = chars = 0
     for _ in range(n_batches):
-        imgs, labels, pad, texts = D.make_batch(batch_size, rng)
+        imgs, labels, pad, texts = D.make_batch(batch_size, rng, charset)
         logits = infer(params, state, jnp.asarray(imgs))
         ids = np.asarray(jnp.argmax(logits, axis=-1))
         for row, text in zip(ids, texts):
-            got = greedy_ctc_decode(row)
+            got = charset.greedy_ctc_decode(row)
             exact += got == text
             total += 1
             errs += _levenshtein(got, text)
@@ -74,9 +74,10 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def save_weights(out_path, params, state):
-    """Portable flat .npz (no device/sharding metadata — loads anywhere)."""
-    flat = {}
+def save_weights(out_path, params, state, charset: Charset = DEFAULT):
+    """Portable flat .npz; embeds the charset so the file is self-describing
+    (no device/sharding metadata — loads anywhere)."""
+    flat = {"charset": np.array(charset.chars)}
     for prefix, tree in (("p", params), ("s", state)):
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             key = prefix + "/" + jax.tree_util.keystr(path)
@@ -85,8 +86,14 @@ def save_weights(out_path, params, state):
 
 
 def load_weights(weights_path=DEFAULT_WEIGHTS_PATH):
-    template_p, template_s = init_crnn(jax.random.key(0))
+    """→ (params, state, charset) — charset read from the file (older files
+    without one get the default ASCII field charset)."""
     with np.load(weights_path) as z:
+        charset = Charset(str(z["charset"])) if "charset" in z else Charset(CHARSET)
+        template_p, template_s = init_crnn(
+            jax.random.key(0), num_classes=charset.num_classes
+        )
+
         def rebuild(prefix, tree):
             leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(tree)
             leaves = [
@@ -95,12 +102,13 @@ def load_weights(weights_path=DEFAULT_WEIGHTS_PATH):
             ]
             return jax.tree_util.tree_unflatten(treedef, leaves)
 
-        return rebuild("p", template_p), rebuild("s", template_s)
+        return rebuild("p", template_p), rebuild("s", template_s), charset
 
 
-def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR, log=print):
+def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR,
+          log=print, charset: Charset = DEFAULT):
     rng = np.random.default_rng(seed)
-    params, state = init_crnn(jax.random.key(seed))
+    params, state = init_crnn(jax.random.key(seed), num_classes=charset.num_classes)
     optimizer = optax.adamw(
         optax.warmup_cosine_decay_schedule(0.0, lr, 100, steps), weight_decay=1e-5
     )
@@ -109,16 +117,16 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
 
     t0 = time.time()
     for it in range(1, steps + 1):
-        imgs, labels, pad, _ = D.make_batch(batch_size, rng)
+        imgs, labels, pad, _ = D.make_batch(batch_size, rng, charset)
         params, state, opt_state, loss = step_fn(
             params, state, opt_state,
             jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad),
         )
         if it % 200 == 0 or it == 1:
             log(f"step {it}/{steps} loss {float(loss):.4f} ({time.time()-t0:.0f}s)")
-    acc, cer = evaluate(params, state, np.random.default_rng(seed + 1))
+    acc, cer = evaluate(params, state, np.random.default_rng(seed + 1), charset=charset)
     log(f"eval: exact={acc:.3f} cer={cer:.4f}")
-    save_weights(out_dir, params, state)
+    save_weights(out_dir, params, state, charset)
     log(f"saved weights to {out_dir}")
     return params, state, {"exact": acc, "cer": cer}
 
@@ -126,4 +134,9 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 3000
     out = sys.argv[2] if len(sys.argv) > 2 else DEFAULT_WEIGHTS_DIR
-    train(steps=n, out_dir=out)
+    cs = DEFAULT
+    if "--cjk" in sys.argv:
+        from twinvoice_tpu.ocr.jaxocr.charset import cjk_charset
+
+        cs = cjk_charset()
+    train(steps=n, out_dir=out, charset=cs)
