@@ -29,6 +29,70 @@ def items_qr_payload(items: List[dict]) -> str:
     return "**" + body
 
 
+# Font registry for render variety. TRAIN_FONTS feed training data;
+# HELDOUT_FONTS are never trained on — the eval gauntlet uses them to
+# measure font generalization (VERDICT r1 #3 "rendered-but-different-fonts").
+import os as _os
+
+_DEJAVU = "/usr/share/fonts/truetype/dejavu"
+_MPL = None
+
+
+def _mpl_font_dir():
+    global _MPL
+    if _MPL is None:
+        try:
+            import matplotlib
+
+            _MPL = _os.path.join(
+                _os.path.dirname(matplotlib.__file__), "mpl-data", "fonts", "ttf"
+            )
+        except Exception:
+            _MPL = ""
+    return _MPL
+
+
+def _existing(paths):
+    return [p for p in paths if p and _os.path.exists(p)]
+
+
+def train_fonts() -> List[str]:
+    return _existing(
+        [
+            _os.path.join(_DEJAVU, "DejaVuSansMono.ttf"),
+            _os.path.join(_DEJAVU, "DejaVuSans.ttf"),
+            _os.path.join(_DEJAVU, "DejaVuSerif.ttf"),
+            _os.path.join(_DEJAVU, "DejaVuSansMono-Bold.ttf"),
+            _os.path.join(_DEJAVU, "DejaVuSans-Bold.ttf"),
+        ]
+    )
+
+
+def heldout_fonts() -> List[str]:
+    import glob as _glob
+
+    mpl = _mpl_font_dir()
+    cands = [
+        _os.path.join(mpl, "STIXGeneral.ttf") if mpl else "",
+        _os.path.join(mpl, "STIXGeneralBol.ttf") if mpl else "",
+        _os.path.join(mpl, "cmr10.ttf") if mpl else "",
+        _os.path.join(mpl, "cmss10.ttf") if mpl else "",
+        _os.path.join(mpl, "DejaVuSerif-Bold.ttf") if mpl else "",
+    ]
+    try:
+        import pygame
+
+        pg = _os.path.dirname(pygame.__file__)
+        cands += [
+            _os.path.join(pg, "freesansbold.ttf"),
+            _os.path.join(pg, "examples", "data", "sans.ttf"),
+        ]
+    except Exception:
+        pass
+    out = _existing(cands)
+    return out or train_fonts()  # degrade gracefully off this box
+
+
 def render_invoice(
     invoice_no: str = "AB12345678",
     date_iso: str = "2025-09-09",
@@ -36,8 +100,17 @@ def render_invoice(
     items: Optional[List[dict]] = None,
     size: Tuple[int, int] = (440, 640),
     seed: int = 0,
+    font_path: Optional[str] = None,
+    font_size: int = 22,
+    layout_jitter: float = 0.0,
 ):
-    """Returns (PIL.Image RGB, field→(x1,y1,x2,y2) ground-truth boxes)."""
+    """Returns (PIL.Image RGB, field→(x1,y1,x2,y2) ground-truth boxes).
+
+    ``font_path``/``font_size`` select the value-text typeface (default:
+    DejaVuSansMono 22 — the round-1 behavior). ``layout_jitter`` ∈ [0,1]
+    randomizes field positions/ordering so segmenters must find text, not
+    memorize coordinates.
+    """
     from PIL import Image, ImageDraw
 
     from twinvoice_tpu.qr.encode import render_qr
@@ -55,22 +128,34 @@ def render_invoice(
 
     boxes: Dict[str, Tuple[int, int, int, int]] = {}
     font = ImageFont.truetype(
-        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf", 22
+        font_path or _os.path.join(_DEJAVU, "DejaVuSansMono.ttf"), font_size
     )
+    line_h = int(font_size * 1.2)
 
-    def value_line(label_text, value_text, y):
+    def value_line(label_text, value_text, x, y):
         """CJK label in the small default font (cosmetic), latin/digit VALUE
         in a print-quality font — the ground-truth box covers the value."""
-        draw.text((30, y + 6), label_text, fill=(20, 20, 20))
-        x = 120
+        draw.text((x - 90, y + 6), label_text, fill=(20, 20, 20))
         draw.text((x, y), value_text, fill=(20, 20, 20), font=font)
         tw = draw.textlength(value_text, font=font)
-        return (x, y, int(x + tw), y + 26)
+        return (x, y, int(x + tw), y + line_h)
 
+    j = float(np.clip(layout_jitter, 0.0, 1.0))
+    x0 = 120 + int(rng.integers(-30, 60) * j)
+    y0 = 55 + int(rng.integers(-20, 80) * j)
+    gap = 40 + int(rng.integers(-8, 30) * j)
+    order = ["invoice_no", "date", "total_amount"]
+    if j > 0 and rng.uniform() < 0.5 * j:
+        rng.shuffle(order)
+    texts = {
+        "invoice_no": ("發票號碼", f"{invoice_no[:2]}-{invoice_no[2:]}"),
+        "date": ("日期", date_iso),
+        "total_amount": ("總計", str(amount)),
+    }
     draw.text((150, 20), "電子發票證明聯", fill=(10, 10, 10))
-    boxes["invoice_no"] = value_line("發票號碼", f"{invoice_no[:2]}-{invoice_no[2:]}", 55)
-    boxes["date"] = value_line("日期", date_iso, 95)
-    boxes["total_amount"] = value_line("總計", str(amount), 135)
+    for i, field in enumerate(order):
+        label, value = texts[field]
+        boxes[field] = value_line(label, value, x0, y0 + i * gap)
 
     qr1 = render_qr(header_qr_payload(invoice_no, date_iso, amount), module_px=4)
     qr2 = render_qr(items_qr_payload(items), module_px=4)

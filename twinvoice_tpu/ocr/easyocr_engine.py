@@ -13,14 +13,18 @@ from twinvoice_tpu.ocr.enhance import grayscale_for_ocr
 class EasyOcrEngine:
     name = "easyocr"
 
-    def __init__(self, languages=("ch_tra", "en")):
-        self._reader = None
-        try:
-            import easyocr  # pragma: no cover - not installed in this image
+    def __init__(self, languages=("ch_tra", "en"), reader=None):
+        """``reader``: inject any object with EasyOCR's
+        ``readtext(img, detail=0) -> list[str]`` surface (tests use a fake;
+        deployments may pass a pre-warmed Reader to skip the model load)."""
+        self._reader = reader
+        if self._reader is None:
+            try:
+                import easyocr  # pragma: no cover - not installed in this image
 
-            self._reader = easyocr.Reader(list(languages), gpu=False)
-        except Exception:
-            self._reader = None
+                self._reader = easyocr.Reader(list(languages), gpu=False)
+            except Exception:
+                self._reader = None
 
     def available(self) -> bool:
         return self._reader is not None

@@ -106,7 +106,11 @@ def load_weights(weights_path=DEFAULT_WEIGHTS_PATH):
 
 
 def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR,
-          log=print, charset: Charset = DEFAULT):
+          log=print, charset: Charset = DEFAULT, cache_batches: int = 0):
+    """``cache_batches``: when >0, pre-render that many batches once and
+    cycle them (fresh randomness per render). CJK stroke rendering on a
+    1-core host otherwise starves the device; eval always uses fresh
+    batches, so the reported accuracy is not memorization."""
     rng = np.random.default_rng(seed)
     params, state = init_crnn(jax.random.key(seed), num_classes=charset.num_classes)
     optimizer = optax.adamw(
@@ -115,9 +119,19 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
     opt_state = optimizer.init(params)
     step_fn = make_train_step(optimizer)
 
+    pool = None
+    if cache_batches:
+        t0 = time.time()
+        pool = [D.make_batch(batch_size, rng, charset)[:3]
+                for _ in range(cache_batches)]
+        log(f"pre-rendered {cache_batches} batches in {time.time()-t0:.0f}s")
+
     t0 = time.time()
     for it in range(1, steps + 1):
-        imgs, labels, pad, _ = D.make_batch(batch_size, rng, charset)
+        if pool is not None:
+            imgs, labels, pad = pool[int(rng.integers(0, len(pool)))]
+        else:
+            imgs, labels, pad, _ = D.make_batch(batch_size, rng, charset)
         params, state, opt_state, loss = step_fn(
             params, state, opt_state,
             jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad),
@@ -139,4 +153,8 @@ if __name__ == "__main__":
         from twinvoice_tpu.ocr.jaxocr.charset import cjk_charset
 
         cs = cjk_charset()
-    train(steps=n, out_dir=out, charset=cs)
+    cache = 0
+    for a in sys.argv:
+        if a.startswith("--cache="):
+            cache = int(a.split("=")[1])
+    train(steps=n, out_dir=out, charset=cs, cache_batches=cache)
