@@ -1,5 +1,16 @@
-"""BASELINE config 3 measurement: full-width U-Net train-step throughput
-(the reference trains bs=4 at 512²; same shape here, one chip)."""
+"""BASELINE config 3 measurement: U-Net train-step throughput + MFU.
+
+The reference trains bs=4 at 512² on one device (train.py:99,129); this
+measures the same shape plus the bf16 mixed-precision mode and a larger
+batch, reporting img/s and MFU. MFU denominator is the chip's bf16 peak
+(~197 TFLOP/s on v5e) for both precisions — v5e has no native fp32 MXU
+path, so fp32 rows honestly show the cost of demanding fp32 math.
+
+Train-step FLOPs are estimated as 3× forward (fwd + ~2× for bwd), forward
+≈ 219 GFLOP per 512² image at width 64 (BASELINE.md).
+
+Usage: python scripts/bench_train.py [iters]
+"""
 
 import json
 import os
@@ -12,21 +23,25 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+FWD_GFLOP_PER_IMG = 219.0
+BF16_PEAK_TFLOPS = 197.0
 
-def main(batch=4, iters=6):
+
+def bench(dtype_name, batch, iters=6):
     from twinvoice_tpu.config import TrainConfig, UNetConfig
     from twinvoice_tpu.models.unet import init_unet
     from twinvoice_tpu.train.trainer import TrainState, make_optimizer, make_train_step
 
-    mcfg, tcfg = UNetConfig(), TrainConfig(batch_size=batch)
+    dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    mcfg, tcfg = UNetConfig(), TrainConfig(batch_size=batch, dtype=dtype_name)
     params, bn = init_unet(jax.random.key(0), mcfg)
     opt = make_optimizer(tcfg)
     state = TrainState(params, bn, opt.init(params))
     step = make_train_step(mcfg, tcfg, opt)
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(0, 1, (batch, 512, 512, 3)), jnp.float32)
-    y = jnp.asarray((rng.uniform(size=(batch, 512, 512, 3)) > 0.9), jnp.float32)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, 512, 512, 3)), dtype)
+    y = jnp.asarray((rng.uniform(size=(batch, 512, 512, 3)) > 0.9), dtype)
     lr = jnp.float32(1e-3)
 
     p, b, o, loss = step(state.params, state.bn_state, state.opt_state, x, y, lr)
@@ -36,12 +51,23 @@ def main(batch=4, iters=6):
         p, b, o, loss = step(p, b, o, x, y, lr)
         float(loss)
     dt = (time.perf_counter() - t0) / iters
-    print(json.dumps({
-        "metric": "train step (fp32, bs=4 @512^2, fwd+bwd+AdamW, 1 chip)",
+
+    tflops = 3 * FWD_GFLOP_PER_IMG * batch / dt / 1e3
+    row = {
+        "config": f"{dtype_name} bs={batch} @512^2 (fwd+bwd+AdamW, 1 chip)",
         "ms_per_step": round(dt * 1e3, 1),
         "img_per_s": round(batch / dt, 2),
-    }))
+        "tflops": round(tflops, 1),
+        "mfu_vs_bf16_peak": round(tflops / BF16_PEAK_TFLOPS, 3),
+    }
+    print(json.dumps(row), flush=True)
+    return row
+
+
+def main(iters=6):
+    for dtype_name, batch in (("fp32", 4), ("bf16", 4), ("bf16", 16)):
+        bench(dtype_name, batch, iters)
 
 
 if __name__ == "__main__":
-    main()
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 6)

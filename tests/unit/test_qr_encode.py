@@ -24,8 +24,10 @@ def test_pick_version():
     assert pick_version(5, "M") == 1     # v1-M holds 16 bytes
     assert pick_version(15, "M") == 2
     assert pick_version(200, "M") == 10
+    assert pick_version(1000, "M") == 26   # v11-40 now supported
+    assert pick_version(2300, "M") == 40
     with pytest.raises(ValueError):
-        pick_version(1000, "M")
+        pick_version(3000, "M")            # beyond v40-M capacity
 
 
 def test_matrix_structure():
