@@ -1,0 +1,53 @@
+"""int8 post-training quantization (infer/quant.py): the quantized graph
+must track the fp32 folded graph closely enough that thresholded field
+masks are near-identical. Gauntlet IoU is the promotion gate; this pins
+the numerics at unit level."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from twinvoice_tpu.config import UNetConfig
+from twinvoice_tpu.infer.quant import quantize_unet, unet_apply_quantized
+from twinvoice_tpu.models.unet import fold_unet, init_unet, unet_apply_folded
+
+
+@pytest.fixture(scope="module")
+def small_model():
+    cfg = UNetConfig(base_width=8)
+    params, state = init_unet(jax.random.key(0), cfg)
+    return fold_unet(params, state, cfg=cfg), cfg
+
+
+def test_quantized_tracks_fp32(small_model):
+    folded, cfg = small_model
+    rng = np.random.default_rng(0)
+    calib = [rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8) for _ in range(2)]
+    q = quantize_unet(folded, calib)
+
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    ref = unet_apply_folded(folded, imgs.astype(jnp.float32) / 255.0)
+    got = unet_apply_quantized(q, imgs)
+    assert got.shape == ref.shape and got.dtype == jnp.float32
+
+    # logits agree well in absolute terms...
+    mae = float(jnp.mean(jnp.abs(got - ref)))
+    ref_std = float(jnp.std(ref))
+    assert mae < 0.15 * max(ref_std, 1.0), (mae, ref_std)
+    # ...and the downstream decision (sigmoid > t) flips on <2% of pixels
+    for t in (0.25, 0.40, 0.30):
+        a = jax.nn.sigmoid(ref) > t
+        b = jax.nn.sigmoid(got) > t
+        assert float(jnp.mean(a != b)) < 0.02
+
+
+def test_weight_quant_is_per_channel(small_model):
+    folded, _ = small_model
+    rng = np.random.default_rng(1)
+    q = quantize_unet(folded, [rng.integers(0, 255, (1, 64, 64, 3), dtype=np.uint8)])
+    w = q["enc"][0]["conv1"]
+    assert w["kernel"].dtype == jnp.int8
+    assert w["w_scale"].shape == (w["kernel"].shape[-1],)
+    assert int(jnp.max(jnp.abs(w["kernel"]))) <= 127

@@ -108,9 +108,13 @@ def conv_transpose2x2_serving(x, p):
 
 def max_pool2(x):
     """2×2 stride-2 max pool (floor mode, as torch ``MaxPool2d(2)``)."""
+    init = (
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
+        else jnp.iinfo(x.dtype).min
+    )
     return lax.reduce_window(
         x,
-        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
+        jnp.asarray(init, x.dtype),
         lax.max,
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),
