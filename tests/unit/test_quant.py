@@ -51,3 +51,22 @@ def test_weight_quant_is_per_channel(small_model):
     assert w["kernel"].dtype == jnp.int8
     assert w["w_scale"].shape == (w["kernel"].shape[-1],)
     assert int(jnp.max(jnp.abs(w["kernel"]))) <= 127
+
+
+def test_segmenter_int8_mode(small_model):
+    from twinvoice_tpu.config import InferConfig
+    from twinvoice_tpu.infer.pipeline import Segmenter
+
+    cfg = UNetConfig(base_width=8)
+    params, state = init_unet(jax.random.key(2), cfg)
+    rng = np.random.default_rng(3)
+    calib = [rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)]
+    seg = Segmenter(params, state, cfg, InferConfig(img_size=64),
+                    dtype=jnp.bfloat16, int8_calib=calib)
+    imgs = rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)
+    mask, boxes, ok = seg.segment_batch(imgs)
+    assert boxes.shape == (2, 3, 4) and mask.shape == (2, 64, 64, 3)
+    # raw-resolution (device resize) path also runs quantized
+    raw = rng.integers(0, 255, (2, 96, 80, 3), dtype=np.uint8)
+    mask2, boxes2, ok2 = seg.segment_batch(raw, pre_resized=False)
+    assert boxes2.shape == (2, 3, 4)

@@ -41,22 +41,40 @@ class Segmenter:
         model_cfg: UNetConfig = UNetConfig(),
         cfg: InferConfig = InferConfig(),
         dtype=jnp.float32,
+        int8_calib=None,
     ):
+        """``int8_calib``: an iterable of uint8 (B,H,W,3) batches switches the
+        forward to the int8 MXU path (infer/quant.py) — weights quantized
+        per-channel, activation scales calibrated from these batches. The
+        fp32/bf16 folded params are still built (parity surface)."""
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.dtype = dtype
         self.folded = fold_unet(params, state, cfg=model_cfg, dtype=dtype)
         self._thr = jnp.asarray(cfg.thresholds, jnp.float32)
+        self.qparams = None
+        if int8_calib is not None:
+            from twinvoice_tpu.infer.quant import quantize_unet, unet_apply_quantized
+
+            folded32 = fold_unet(params, state, cfg=model_cfg)
+            self.qparams = quantize_unet(folded32, int8_calib)
+            self._q_apply = unet_apply_quantized
 
         size = cfg.img_size
 
         logit_thr = probability_to_logit_thresholds(cfg.thresholds)
 
+        q_apply = getattr(self, "_q_apply", None)
+        quantized = self.qparams is not None
+
         @partial(jax.jit, static_argnames=("return_masks",))
         def _run(folded, imgs_u8, orig_sizes, return_masks=True):
             """imgs_u8: (B, size, size, 3) uint8; orig_sizes: (B, 2) int32 (ow, oh)."""
-            x = imgs_u8.astype(dtype) / jnp.asarray(255.0, dtype)
-            logits = unet_apply_folded(folded, x)
+            if quantized:
+                logits = q_apply(folded, imgs_u8)
+            else:
+                x = imgs_u8.astype(dtype) / jnp.asarray(255.0, dtype)
+                logits = unet_apply_folded(folded, x)
 
             def post(lg, osz):
                 # max-reduction bbox in logit space: identical decisions to
@@ -77,8 +95,13 @@ class Segmenter:
         def _run_from_raw(folded, raw_u8, orig_sizes):
             """Device resize variant: raw_u8 (B, H, W, 3) uint8 any fixed H,W."""
             x = resize_bilinear(raw_u8.astype(jnp.float32), size, size)
-            x = (x / 255.0).astype(dtype)
-            logits = unet_apply_folded(folded, x)
+            if quantized:
+                logits = q_apply(
+                    folded, jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+                )
+            else:
+                x = (x / 255.0).astype(dtype)
+                logits = unet_apply_folded(folded, x)
 
             def post(lg, osz):
                 gboxes, valid = bbox_from_logits_fast(lg, logit_thr)
@@ -91,6 +114,8 @@ class Segmenter:
 
         self._run = _run
         self._run_from_raw = _run_from_raw
+        # the pytree the jitted graphs consume: qparams in int8 mode
+        self._serve_params = self.qparams if quantized else self.folded
 
     # -- constructors ------------------------------------------------------
 
@@ -128,8 +153,8 @@ class Segmenter:
         else:
             orig_sizes = jnp.asarray(orig_sizes, jnp.int32)
         if not pre_resized:
-            return self._run_from_raw(self.folded, imgs_u8, orig_sizes)
-        return self._run(self.folded, imgs_u8, orig_sizes, return_masks=return_masks)
+            return self._run_from_raw(self._serve_params, imgs_u8, orig_sizes)
+        return self._run(self._serve_params, imgs_u8, orig_sizes, return_masks=return_masks)
 
     def segment_pil_batch(self, pil_images):
         """Batched PIL path: ONE device call segments all images; crops are
@@ -142,7 +167,7 @@ class Segmenter:
             for im in pil_images
         ])
         sizes = np.asarray([im.size for im in pil_images], np.int32)  # (ow, oh)
-        mask, boxes, ok = self._run(self.folded, jnp.asarray(arrs), jnp.asarray(sizes))
+        mask, boxes, ok = self._run(self._serve_params, jnp.asarray(arrs), jnp.asarray(sizes))
         mask = np.asarray(mask)
         boxes = np.asarray(boxes)
         ok = np.asarray(ok)
@@ -181,7 +206,7 @@ class Segmenter:
         small = pil_img.convert("RGB").resize((size, size))
         arr = np.asarray(small, np.uint8)[None]
         sizes = np.asarray([[ow, oh]], np.int32)
-        mask, boxes, ok = self._run(self.folded, jnp.asarray(arr), jnp.asarray(sizes))
+        mask, boxes, ok = self._run(self._serve_params, jnp.asarray(arr), jnp.asarray(sizes))
         mask = np.asarray(mask[0])
         boxes = np.asarray(boxes[0])
         ok = np.asarray(ok[0])
