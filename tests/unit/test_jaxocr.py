@@ -162,3 +162,28 @@ def test_cjk_weights_roundtrip(tmp_path):
     save_weights(path, params, state, cs)
     p2, s2, cs2 = load_weights(path)
     assert cs2.chars == cs.chars
+
+
+def test_prepare_crop_polarity_and_contrast():
+    """Inverted-video and low-contrast crops normalize into the training
+    distribution (dark ink, full-range background)."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    from twinvoice_tpu.ocr.jaxocr.engine import prepare_crop
+
+    font = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf", 22
+    )
+    img = Image.new("L", (140, 36), 255)
+    ImageDraw.Draw(img).text((4, 4), "AB-123", fill=0, font=font)
+    base = prepare_crop(img)
+
+    inverted = prepare_crop(Image.fromarray(255 - np.asarray(img)))
+    lowc = prepare_crop(
+        Image.fromarray((np.asarray(img) * 0.12 + 140).astype(np.uint8))
+    )
+    for variant in (inverted, lowc):
+        assert variant is not None
+        # normalized variants should closely match the clean preparation
+        assert np.mean(np.abs(variant - base)) < 0.12
+        assert variant.min() < 0.3 and variant.max() > 0.8  # full range, dark ink
