@@ -108,13 +108,15 @@ def conv_transpose2x2_serving(x, p):
 
 def max_pool2(x):
     """2×2 stride-2 max pool (floor mode, as torch ``MaxPool2d(2)``)."""
+    # float init stays the -inf literal (XLA's max-pool VJP pattern-match
+    # requires it); integer paths (int8 serving) get a typed numpy scalar
     init = (
         -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating)
-        else jnp.iinfo(x.dtype).min
+        else x.dtype.type(jnp.iinfo(x.dtype).min)
     )
     return lax.reduce_window(
         x,
-        jnp.asarray(init, x.dtype),
+        init,
         lax.max,
         window_dimensions=(1, 2, 2, 1),
         window_strides=(1, 2, 2, 1),
