@@ -29,15 +29,18 @@ def conv(x, w, out_dtype):
     )
 
 
-def time_fn(fn, *args, iters=6):
+INNER = 20  # conv applications per device call — amortizes the ~28 ms
+# relay RTT this environment pays per host fetch (docs/PERFORMANCE.md)
+
+
+def time_fn(fn, *args, iters=3):
     out = fn(*args)
     np.asarray(jax.tree.leaves(out)[0][0, 0, 0])  # compile+fetch
-    np.asarray(jax.tree.leaves(fn(*args))[0][0, 0, 0])
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
         np.asarray(jax.tree.leaves(out)[0][0, 0, 0])  # tiny fetch
-    return (time.perf_counter() - t0) / iters
+    return (time.perf_counter() - t0) / (iters * INNER)
 
 
 def main(batch=128):
@@ -52,18 +55,32 @@ def main(batch=128):
         cin = xshape[-1]
         flops = 2 * 9 * cin * cout * np.prod(xshape[:-1])
 
+        # channel-preserving chains (cin == cout here) let us loop the conv
+        # inside one jit via fori_loop, so per-call RTT amortizes away
         x_bf = jnp.asarray(rng.normal(0, 1, xshape), jnp.bfloat16)
         w_bf = jnp.asarray(rng.normal(0, 0.05, (3, 3, cin, cout)), jnp.bfloat16)
-        f_bf = jax.jit(lambda x, w: conv(x, w, jnp.bfloat16).astype(jnp.bfloat16))
+
+        @jax.jit
+        def f_bf(x, w):
+            return jax.lax.fori_loop(
+                0, INNER,
+                lambda i, h: conv(h, w, jnp.bfloat16).astype(jnp.bfloat16), x,
+            )
+
         t_bf = time_fn(f_bf, x_bf, w_bf)
 
         x_i8 = jnp.asarray(rng.integers(-127, 127, xshape), jnp.int8)
         w_i8 = jnp.asarray(rng.integers(-127, 127, (3, 3, cin, cout)), jnp.int8)
-        # int8 in, int32 accum, downcast+rescale to int8 out (a real quantized
-        # layer would also add bias + clamp — same cost class)
-        f_i8 = jax.jit(
-            lambda x, w: (conv(x, w, jnp.int32) >> 7).astype(jnp.int8)
-        )
+
+        @jax.jit
+        def f_i8(x, w):
+            # int8 in, int32 accum, shift back to int8 (a real quantized layer
+            # adds bias + rescale in the same elementwise epilogue cost class)
+            return jax.lax.fori_loop(
+                0, INNER,
+                lambda i, h: (conv(h, w, jnp.int32) >> 7).astype(jnp.int8), x,
+            )
+
         t_i8 = time_fn(f_i8, x_i8, w_i8)
 
         print(
