@@ -4,7 +4,7 @@
 script runs the folded forward under a trace and prints the top device-side
 fusions by accumulated time — the round-2 kernel-hunting entry point.
 
-Usage: python scripts/trace_report.py [batch]
+Usage: python scripts/trace_report.py [batch] [--int8]
 """
 
 import glob
@@ -22,21 +22,34 @@ import jax
 import jax.numpy as jnp
 
 
-def main(batch=32):
+def main(batch=32, int8=False):
     from twinvoice_tpu.config import UNetConfig
     from twinvoice_tpu.models.unet import fold_unet, init_unet, unet_apply_folded
 
     mcfg = UNetConfig()
     params, state = init_unet(jax.random.key(0), mcfg)
-    folded = fold_unet(params, state, cfg=mcfg, dtype=jnp.bfloat16)
     imgs = jnp.asarray(
         np.random.default_rng(0).integers(0, 255, (batch, 512, 512, 3), dtype=np.uint8)
     )
 
-    @jax.jit
-    def f(folded, imgs):
-        x = imgs.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
-        return unet_apply_folded(folded, x)[:, :1, :1]  # tiny fetch
+    if int8:
+        from twinvoice_tpu.infer.quant import quantize_unet, unet_apply_quantized
+
+        folded = quantize_unet(
+            fold_unet(params, state, cfg=mcfg), [np.asarray(imgs[:8])]
+        )
+
+        @jax.jit
+        def f(folded, imgs):
+            return unet_apply_quantized(folded, imgs)[:, :1, :1]
+
+    else:
+        folded = fold_unet(params, state, cfg=mcfg, dtype=jnp.bfloat16)
+
+        @jax.jit
+        def f(folded, imgs):
+            x = imgs.astype(jnp.bfloat16) / jnp.bfloat16(255.0)
+            return unet_apply_folded(folded, x)[:, :1, :1]  # tiny fetch
 
     np.asarray(f(folded, imgs))  # compile
     out_dir = tempfile.mkdtemp(prefix="xprof_")
@@ -61,4 +74,5 @@ def main(batch=32):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 32)
+    argv = [a for a in sys.argv[1:] if a != "--int8"]
+    main(int(argv[0]) if argv else 32, int8="--int8" in sys.argv)

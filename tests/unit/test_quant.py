@@ -70,3 +70,31 @@ def test_segmenter_int8_mode(small_model):
     raw = rng.integers(0, 255, (2, 96, 80, 3), dtype=np.uint8)
     mask2, boxes2, ok2 = seg.segment_batch(raw, pre_resized=False)
     assert boxes2.shape == (2, 3, 4)
+
+
+def test_segmenter_int8_box_path_matches_logits_path(small_model):
+    """return_masks=False routes through the Pallas fused head
+    (ops/pallas_head); its boxes must match the logits-path boxes."""
+    from twinvoice_tpu.config import InferConfig
+    from twinvoice_tpu.infer.pipeline import Segmenter
+
+    cfg = UNetConfig(base_width=8)
+    params, state = init_unet(jax.random.key(5), cfg)
+    # random init keeps the reference's -4 background bias -> no detections;
+    # push two field channels positive so the box path has work to do
+    params["out"]["bias"] = jnp.asarray([2.0, -4.0, 1.0], jnp.float32)
+    rng = np.random.default_rng(7)
+    calib = [rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)]
+    seg = Segmenter(params, state, cfg, InferConfig(img_size=64),
+                    dtype=jnp.bfloat16, int8_calib=calib)
+    imgs = rng.integers(0, 255, (3, 64, 64, 3), dtype=np.uint8)
+    sizes = np.asarray([[640, 480]] * 3, np.int32)
+
+    mask, boxes_ref, ok_ref = seg.segment_batch(imgs, sizes, return_masks=True)
+    none_mask, boxes, ok = seg.segment_batch(imgs, sizes, return_masks=False)
+    assert none_mask is None
+    np.testing.assert_array_equal(np.asarray(ok), np.asarray(ok_ref))
+    # bf16 weight rounding in the head can shift a boundary row/col by 1px
+    # on the 64-grid -> up to ~1.1*pad in original pixels (640/64 * 1.15)
+    diff = np.abs(np.asarray(boxes, np.int64) - np.asarray(boxes_ref, np.int64))
+    assert diff[np.asarray(ok_ref)].max() <= 12, diff.max()

@@ -70,6 +70,27 @@ class Segmenter:
         @partial(jax.jit, static_argnames=("return_masks",))
         def _run(folded, imgs_u8, orig_sizes, return_masks=True):
             """imgs_u8: (B, size, size, 3) uint8; orig_sizes: (B, 2) int32 (ow, oh)."""
+            if quantized and not return_masks:
+                # box-only throughput path: Pallas fused head — the 1×1
+                # out-conv and the row/col max-reductions run in one kernel
+                # and the (B,S,S,3) logits tensor is never materialized
+                # (ops/pallas_head.py). Bias folds into the thresholds.
+                from twinvoice_tpu.infer.quant import (
+                    unet_apply_quantized_rowcol_max,
+                )
+                from twinvoice_tpu.ops.pallas_head import bbox_from_rowcol_max
+
+                row_max, col_max = unet_apply_quantized_rowcol_max(
+                    folded, imgs_u8
+                )
+                thr_eff = logit_thr - folded["out"]["bias"].astype(jnp.float32)
+                gboxes, valid = bbox_from_rowcol_max(row_max, col_max, thr_eff)
+                boxes, ok = jax.vmap(
+                    lambda gb, v, osz: scale_and_pad_boxes(
+                        gb, v, osz, size, cfg.pad_frac
+                    )
+                )(gboxes, valid, orig_sizes)
+                return None, boxes, ok
             if quantized:
                 logits = q_apply(folded, imgs_u8)
             else:

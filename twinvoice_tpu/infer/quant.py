@@ -182,8 +182,10 @@ def _conv_transpose2x2_i8(x, kernel):
     )
 
 
-def unet_apply_quantized(q, imgs_u8):
-    """uint8 (N,H,W,3) images → f32 logits, int8 MXU end to end."""
+def unet_apply_quantized_features(q, imgs_u8):
+    """uint8 (N,H,W,3) images → (final decoder activations int8 (N,H,W,C),
+    their dequant scale). The int8 trunk shared by the logits path and the
+    Pallas fused-head box path (ops/pallas_head)."""
     xq = (imgs_u8 >> 1).astype(jnp.int8)  # [0,127], scale 2/255 in [0,1] units
     s = INPUT_SCALE
     skips = []
@@ -215,5 +217,122 @@ def unet_apply_quantized(q, imgs_u8):
         y2 = jax.nn.relu(_qconv(h, s1, dec_q["conv2"], _conv3x3_i8))
         h = _requant(y2, dec_q["s2"])
         s = dec_q["s2"] / 127.0
+    return h, s
+
+
+def unet_apply_quantized(q, imgs_u8):
+    """uint8 (N,H,W,3) images → f32 logits, int8 MXU end to end."""
+    h, s = unet_apply_quantized_features(q, imgs_u8)
     hf = h.astype(jnp.float32) * s
     return conv1x1(hf, q["out"])
+
+
+def prepack_pallas(q):
+    """qparams → prepacked GEMM-layout weights for the full-Pallas forward
+    (ops/qconv_pallas). Done once at Segmenter build time."""
+    from twinvoice_tpu.ops import qconv_pallas as QP
+
+    pq = {"enc": [], "dec": [], "up": []}
+    for lq in q["enc"]:
+        pq["enc"].append({
+            "w1": QP.pack_w3x3(lq["conv1"]["kernel"]),
+            "w2": QP.pack_w3x3(lq["conv2"]["kernel"]),
+        })
+    pq["bottleneck"] = {
+        "w1": QP.pack_w3x3(q["bottleneck"]["conv1"]["kernel"]),
+        "w2": QP.pack_w3x3(q["bottleneck"]["conv2"]["kernel"]),
+    }
+    for uq in q["up"]:
+        pq["up"].append(QP.pack_wup(uq["kernel"]))
+    for dq in q["dec"]:
+        k1 = np.asarray(dq["conv1"]["kernel"])
+        c = k1.shape[2] // 2
+        pq["dec"].append({
+            "w1_up": QP.pack_w3x3(k1[:, :, :c]),
+            "w1_skip": QP.pack_w3x3(k1[:, :, c:]),
+            "w2": QP.pack_w3x3(dq["conv2"]["kernel"]),
+        })
+    return pq
+
+
+def unet_apply_quantized_pallas_rowcol_max(q, pq, imgs_u8):
+    """Full-Pallas int8 forward: every conv/pool/upsample after the stem is
+    an ops/qconv_pallas kernel in the (H, C, W, N) layout — no s32 tensor
+    ever reaches HBM and the final logits are reduced in-kernel (fused head).
+
+    Returns (row_max (N,H,3), col_max (N,W,3)) f32 *bias-free* logit maxima;
+    callers fold ``q["out"]["bias"]`` into their thresholds.
+    """
+    from jax import lax
+
+    from twinvoice_tpu.ops import qconv_pallas as QP
+
+    # Stem: XLA conv with an HCWN output spec — the layout change rides the
+    # conv's output write instead of a separate 2.1 GB transpose pass; the
+    # dequant→ReLU→requant epilogue fuses into it as usual.
+    xq = (imgs_u8 >> 1).astype(jnp.int8)
+    st = q["enc"][0]["conv1"]
+    y = lax.conv_general_dilated(
+        xq, st["kernel"], (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "HCWN"),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32)
+    y = y * (INPUT_SCALE * st["w_scale"]).reshape(1, -1, 1, 1)
+    y = jax.nn.relu(y + st["bias"].reshape(1, -1, 1, 1))
+    s1 = q["enc"][0]["s1"]
+    h = jnp.clip(jnp.round(y * (127.0 / s1)), 0, 127).astype(jnp.int8)
+    s = s1 / 127.0
+
+    skips = []
+    for i, (lq, pl_) in enumerate(zip(q["enc"], pq["enc"])):
+        if i > 0:
+            c1 = lq["conv1"]
+            h = QP.qconv3x3_requant(
+                h, pl_["w1"], s * c1["w_scale"], c1["bias"], lq["s1"])
+            s = lq["s1"] / 127.0
+        c2 = lq["conv2"]
+        h = QP.qconv3x3_requant(
+            h, pl_["w2"], s * c2["w_scale"], c2["bias"], lq["s2"])
+        s = lq["s2"] / 127.0
+        skips.append((h, s))
+        h = QP.max_pool2_hcwn(h)
+
+    bq, bp = q["bottleneck"], pq["bottleneck"]
+    h = QP.qconv3x3_requant(
+        h, bp["w1"], s * bq["conv1"]["w_scale"], bq["conv1"]["bias"], bq["s1"])
+    s = bq["s1"] / 127.0
+    h = QP.qconv3x3_requant(
+        h, bp["w2"], s * bq["conv2"]["w_scale"], bq["conv2"]["bias"], bq["s2"])
+    s = bq["s2"] / 127.0
+
+    for uq, up_w, dq, dp, (skip, s_skip) in zip(
+            q["up"], pq["up"], q["dec"], pq["dec"], reversed(skips)):
+        h = QP.qupsample2x2_requant(
+            h, up_w, s * uq["w_scale"],
+            uq.get("bias", jnp.zeros(up_w.shape[2], jnp.float32)),
+            uq["s_out"])
+        s_up = uq["s_out"] / 127.0
+        c1 = dq["conv1"]
+        h = QP.qconv3x3_split_requant(
+            h, skip, dp["w1_up"], dp["w1_skip"],
+            s_up * c1["w_scale"], s_skip * c1["w_scale"], c1["bias"],
+            dq["s1"])
+        s = dq["s1"] / 127.0
+        c2 = dq["conv2"]
+        h = QP.qconv3x3_requant(
+            h, dp["w2"], s * c2["w_scale"], c2["bias"], dq["s2"])
+        s = dq["s2"] / 127.0
+
+    return QP.head_rowcol_max_hcwn(h, q["out"]["kernel"][0, 0],
+                                   jnp.float32(s))
+
+
+def unet_apply_quantized_rowcol_max(q, imgs_u8, interpret=None):
+    """uint8 images → (row_max (N,H,3), col_max (N,W,3)) of the *bias-free*
+    logits via the Pallas fused head (never materializes the logits tensor).
+    Callers fold ``q['out']['bias']`` into their logit thresholds."""
+    from twinvoice_tpu.ops.pallas_head import head_rowcol_max
+
+    h, s = unet_apply_quantized_features(q, imgs_u8)
+    w2d = q["out"]["kernel"][0, 0]  # (Cin, 3)
+    return head_rowcol_max(h, w2d, jnp.float32(s), interpret=interpret)
