@@ -48,12 +48,18 @@ def main(batch=128, iters=10, width=64):
 
     for name, kw in (
         ("bf16", dict(dtype=jnp.bfloat16)),
-        ("int8", dict(dtype=jnp.bfloat16, int8_calib=calib)),
+        ("int8-xla", dict(dtype=jnp.bfloat16, int8_calib=calib,
+                          int8_pallas=False)),
+        ("int8-pallas", dict(dtype=jnp.bfloat16, int8_calib=calib,
+                             int8_pallas=True)),
     ):
-        seg = Segmenter(params, state, mcfg, icfg, **kw)
-        dt = run(seg, imgs, sizes, iters)
-        print(f"w{width} {name}: {dt*1e3:7.1f} ms/batch-{batch}  "
-              f"{batch/dt:7.1f} img/s", flush=True)
+        try:
+            seg = Segmenter(params, state, mcfg, icfg, **kw)
+            dt = run(seg, imgs, sizes, iters)
+            print(f"w{width} {name}: {dt*1e3:7.1f} ms/batch-{batch}  "
+                  f"{batch/dt:7.1f} img/s", flush=True)
+        except Exception as e:
+            print(f"w{width} {name}: FAILED — {str(e)[:400]}", flush=True)
 
 
 if __name__ == "__main__":

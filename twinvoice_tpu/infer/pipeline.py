@@ -42,23 +42,38 @@ class Segmenter:
         cfg: InferConfig = InferConfig(),
         dtype=jnp.float32,
         int8_calib=None,
+        int8_pallas=None,
     ):
         """``int8_calib``: an iterable of uint8 (B,H,W,3) batches switches the
         forward to the int8 MXU path (infer/quant.py) — weights quantized
         per-channel, activation scales calibrated from these batches. The
-        fp32/bf16 folded params are still built (parity surface)."""
+        fp32/bf16 folded params are still built (parity surface).
+        ``int8_pallas``: route the box-only path through the full-Pallas
+        int8 forward (ops/qconv_pallas); None = auto (TPU yes, CPU no)."""
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.dtype = dtype
         self.folded = fold_unet(params, state, cfg=model_cfg, dtype=dtype)
         self._thr = jnp.asarray(cfg.thresholds, jnp.float32)
         self.qparams = None
+        self.pallas_params = None
         if int8_calib is not None:
-            from twinvoice_tpu.infer.quant import quantize_unet, unet_apply_quantized
+            from twinvoice_tpu.infer.quant import (
+                prepack_pallas,
+                quantize_unet,
+                unet_apply_quantized,
+            )
 
             folded32 = fold_unet(params, state, cfg=model_cfg)
             self.qparams = quantize_unet(folded32, int8_calib)
             self._q_apply = unet_apply_quantized
+            # The full-Pallas int8 forward (ops/qconv_pallas) is the box-path
+            # default on real TPUs; off-TPU the kernels would run in the slow
+            # interpreter, so CPU (tests) uses the XLA graph + fused head.
+            if int8_pallas is None:
+                int8_pallas = jax.default_backend() == "tpu"
+            if int8_pallas:
+                self.pallas_params = prepack_pallas(self.qparams)
 
         size = cfg.img_size
 
@@ -66,23 +81,34 @@ class Segmenter:
 
         q_apply = getattr(self, "_q_apply", None)
         quantized = self.qparams is not None
+        use_pallas_trunk = self.pallas_params is not None
 
         @partial(jax.jit, static_argnames=("return_masks",))
         def _run(folded, imgs_u8, orig_sizes, return_masks=True):
-            """imgs_u8: (B, size, size, 3) uint8; orig_sizes: (B, 2) int32 (ow, oh)."""
+            """imgs_u8: (B, size, size, 3) uint8; orig_sizes: (B, 2) int32 (ow, oh).
+            When quantized, ``folded`` is {"q": qparams[, "pq": packed]}."""
+            if quantized:
+                folded, pq = folded["q"], folded.get("pq")
             if quantized and not return_masks:
-                # box-only throughput path: Pallas fused head — the 1×1
-                # out-conv and the row/col max-reductions run in one kernel
-                # and the (B,S,S,3) logits tensor is never materialized
-                # (ops/pallas_head.py). Bias folds into the thresholds.
+                # box-only throughput path: fused head — the 1×1 out-conv
+                # and the row/col max-reductions run in one Pallas kernel
+                # and the (B,S,S,3) logits tensor is never materialized.
+                # With pallas_params the whole int8 trunk runs as Pallas
+                # kernels too (ops/qconv_pallas); bias folds into thresholds.
                 from twinvoice_tpu.infer.quant import (
+                    unet_apply_quantized_pallas_rowcol_max,
                     unet_apply_quantized_rowcol_max,
                 )
                 from twinvoice_tpu.ops.pallas_head import bbox_from_rowcol_max
 
-                row_max, col_max = unet_apply_quantized_rowcol_max(
-                    folded, imgs_u8
-                )
+                if use_pallas_trunk:
+                    row_max, col_max = unet_apply_quantized_pallas_rowcol_max(
+                        folded, pq, imgs_u8
+                    )
+                else:
+                    row_max, col_max = unet_apply_quantized_rowcol_max(
+                        folded, imgs_u8
+                    )
                 thr_eff = logit_thr - folded["out"]["bias"].astype(jnp.float32)
                 gboxes, valid = bbox_from_rowcol_max(row_max, col_max, thr_eff)
                 boxes, ok = jax.vmap(
@@ -115,6 +141,8 @@ class Segmenter:
         @jax.jit
         def _run_from_raw(folded, raw_u8, orig_sizes):
             """Device resize variant: raw_u8 (B, H, W, 3) uint8 any fixed H,W."""
+            if quantized:
+                folded = folded["q"]
             x = resize_bilinear(raw_u8.astype(jnp.float32), size, size)
             if quantized:
                 logits = q_apply(
@@ -135,8 +163,14 @@ class Segmenter:
 
         self._run = _run
         self._run_from_raw = _run_from_raw
-        # the pytree the jitted graphs consume: qparams in int8 mode
-        self._serve_params = self.qparams if quantized else self.folded
+        # the pytree the jitted graphs consume: qparams (+ prepacked Pallas
+        # weights) in int8 mode
+        if quantized:
+            self._serve_params = {"q": self.qparams}
+            if use_pallas_trunk:
+                self._serve_params["pq"] = self.pallas_params
+        else:
+            self._serve_params = self.folded
 
     # -- constructors ------------------------------------------------------
 
