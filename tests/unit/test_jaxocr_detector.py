@@ -1,0 +1,109 @@
+"""Text-line detection (ocr/jaxocr/detector) — the EasyOCR-"CRAFT" analogue.
+
+Ground truth comes from the synthetic renderer's field boxes; detection
+must cover them and full-page reading must surface the invoice number.
+"""
+
+import numpy as np
+import pytest
+
+from twinvoice_tpu.data.synthetic import render_invoice
+from twinvoice_tpu.ocr.jaxocr import detector
+
+
+def _covered(gt, boxes, min_frac=0.7):
+    gx1, gy1, gx2, gy2 = gt
+    area = max(1, (gx2 - gx1) * (gy2 - gy1))
+    best = 0.0
+    for x1, y1, x2, y2 in boxes:
+        iw = max(0, min(gx2, x2) - max(gx1, x1))
+        ih = max(0, min(gy2, y2) - max(gy1, y1))
+        best = max(best, iw * ih / area)
+    return best >= min_frac
+
+
+@pytest.fixture(scope="module")
+def invoice():
+    img, boxes = render_invoice("AB12345678", "2025-09-09", 543, seed=3)
+    return img, boxes
+
+
+def test_detect_lines_cover_field_boxes(invoice):
+    img, gt = invoice
+    boxes = detector.detect_lines(img)
+    assert len(boxes) >= 3
+    for field, box in gt.items():
+        assert _covered(box, boxes), (field, box, boxes)
+
+
+def test_detect_lines_rejects_qr_blocks(invoice):
+    """The two QR codes are tall square blobs — not text lines."""
+    img, _ = invoice
+    arr = np.asarray(img.convert("L"))
+    h, w = arr.shape
+    for x1, y1, x2, y2 in detector.detect_lines(img):
+        bw, bh = x2 - x1, y2 - y1
+        assert bh <= 2.5 * bw + 12, "vertical strip leaked through"
+        assert bh <= 0.25 * h + 12, "page-scale blob leaked through"
+
+
+def test_detect_lines_empty_page():
+    blank = np.full((320, 240), 250, np.uint8)
+    assert detector.detect_lines(blank) == []
+
+
+def test_read_page_finds_invoice_number(invoice):
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    eng = JaxOcrEngine()
+    if not eng.available():
+        pytest.skip("bundled jaxocr weights unavailable")
+    img, _ = invoice
+    results = detector.read_page(img, eng)
+    assert results, "no lines recognized"
+    joined = " ".join(r.text for _, r in results).replace("-", "").replace(" ", "")
+    assert "AB12345678" in joined, joined
+
+
+def test_read_text_join(invoice):
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    if not JaxOcrEngine().available():
+        pytest.skip("bundled jaxocr weights unavailable")
+    img, _ = invoice
+    text = detector.read_text(img)
+    assert isinstance(text, str) and len(text) >= 8
+
+
+class _BlindSegmenter:
+    """Segmenter stand-in that finds nothing — forces the fallback."""
+
+    def segment_pil(self, pil_img):
+        return {}, {"invoice_no": None, "date": None, "total_amount": None}
+
+
+def test_fusion_full_page_fallback_recovers_invoice_no(invoice):
+    from twinvoice_tpu.config import FusionConfig
+    from twinvoice_tpu.fusion.extract import InvoiceExtractor
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    eng = JaxOcrEngine()
+    if not eng.available():
+        pytest.skip("bundled jaxocr weights unavailable")
+    img, _ = invoice
+    ex = InvoiceExtractor(
+        _BlindSegmenter(), None, engines=[eng],
+        cfg=FusionConfig(use_qr=False, auto_rotate=False),
+    )
+    meta, items, _ = ex.extract(img)
+    assert meta["invoice_no"] == "AB12345678"
+    assert meta["source"] == "full_page_ocr"
+
+    # fallback disabled -> nothing found
+    ex2 = InvoiceExtractor(
+        _BlindSegmenter(), None, engines=[eng],
+        cfg=FusionConfig(use_qr=False, auto_rotate=False,
+                         full_page_fallback=False),
+    )
+    meta2, _, _ = ex2.extract(img)
+    assert meta2["invoice_no"] is None

@@ -102,6 +102,8 @@ class FusionConfig:
     use_local_ocr: bool = True
     adjust_items_to_total: bool = True   # revived dead feature (app_camera.py:182)
     auto_rotate: bool = True             # revived dead feature (app_camera.py:655)
+    full_page_fallback: bool = True      # detector+recognizer full-page scan
+    # when field crops yield nothing (EasyOCR readtext analogue, :817-833)
 
 
 @dataclass(frozen=True)

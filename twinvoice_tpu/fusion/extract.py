@@ -217,6 +217,40 @@ class InvoiceExtractor:
                     meta["date_source"] = "merged_ocr"
                     break
 
+        # -- full-page fallback: when the segmenter's crops yielded nothing,
+        # detect text lines over the whole photo and regex the candidates —
+        # the local-stack analogue of leaning on EasyOCR's whole-image
+        # readtext robustness (app_camera.py:817-833).
+        if self.cfg.full_page_fallback and (
+            not meta["invoice_no"] or not meta["date"]
+        ):
+            eng = next(
+                (e for e in self.engines
+                 if getattr(e, "name", "") == "jaxocr" and e.available()),
+                None,
+            )
+            if eng is not None:
+                from twinvoice_tpu.ocr.jaxocr.detector import read_page
+
+                with trace_span("fusion.full_page"):
+                    page = log.guarded("ocr", read_page, pil_img, eng,
+                                       default=[])
+                texts = [r.text for _, r in page]
+                if not meta["invoice_no"]:
+                    for t in texts:
+                        cand = clean_invoice_candidate(t)
+                        if cand:
+                            meta["invoice_no"] = cand
+                            meta["source"] = "full_page_ocr"
+                            break
+                if not meta["date"]:
+                    for t in texts:
+                        cand = clean_date_candidate(t)
+                        if cand:
+                            meta["date"] = cand
+                            meta["date_source"] = "full_page_ocr"
+                            break
+
         # -- amount: always merged OCR ------------------------------------
         meta["total_amount"] = extract_amount(*readings["total_amount"])
         meta["amount_source"] = "merged_ocr"
