@@ -47,6 +47,9 @@ def main():
                     help="also run full-pipeline field accuracy (slow)")
     ap.add_argument("--variant", action="append", default=[],
                     help="name=weights.npz:width[:grid]")
+    ap.add_argument("--int8", action="store_true",
+                    help="also evaluate each variant's int8-quantized serving "
+                         "mode (calibrated on clean renders)")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -78,37 +81,63 @@ def main():
     for level, heldout in LEVEL_SETS:
         case_sets[(level, heldout)] = perturb_cases(bases[heldout], level, seed=7)
 
+    def calib_batches(grid, k=8):
+        """Clean in-distribution renders, resized to the serving grid —
+        the activation-scale calibration set for int8 mode."""
+        import numpy as np
+
+        from twinvoice_tpu.eval.gauntlet import _resize_case
+
+        cases = case_sets[("clean", False)][:k]
+        imgs = np.stack([_resize_case(c, grid)[0] for c in cases])
+        return [imgs.astype(np.uint8)]
+
+    seg_modes = [("", None)]
+    if args.int8:
+        seg_modes.append(("+int8", "int8"))
+
     rows = []
     for name, path, width, grid in variants:
         params, bn = load_params_npz(path, UNetConfig(base_width=width))
-        seg = Segmenter(params, bn, UNetConfig(base_width=width),
-                        InferConfig(img_size=grid), dtype=jnp.bfloat16)
-        row = {"variant": name, "width": width, "grid": grid}
-        for (level, heldout), cases in case_sets.items():
-            key = f"{level}{'+heldoutfont' if heldout else ''}"
-            res = run_segmenter_gauntlet(seg, cases)
-            row[key] = {"iou": round(res["iou_mean"], 3),
-                        "box_hit": round(res["box_hit_mean"], 3)}
-            print(json.dumps({"variant": name, "level": key, **res}), flush=True)
-        if args.e2e:
-            from twinvoice_tpu.config import FusionConfig
-            from twinvoice_tpu.fusion.extract import InvoiceExtractor
-            from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+        for suffix, mode in seg_modes:
+            kw = {"int8_calib": calib_batches(grid)} if mode == "int8" else {}
+            seg = Segmenter(params, bn, UNetConfig(base_width=width),
+                            InferConfig(img_size=grid), dtype=jnp.bfloat16, **kw)
+            _eval_variant(name + suffix, seg, grid, width, args, case_sets, rows)
 
-            engine = JaxOcrEngine()
-            if engine.available():
-                ex = InvoiceExtractor(
-                    seg, None, engines=[engine],
-                    cfg=FusionConfig(use_qr=False, auto_rotate=False),
-                )
-                for level in ("clean", "mild"):
-                    res = run_e2e_gauntlet(ex, case_sets[(level, False)])
-                    row[f"e2e_{level}"] = res
-                    print(json.dumps({"variant": name, "e2e": level, **res}),
-                          flush=True)
-        rows.append(row)
+    _print_summary(rows)
 
-    # markdown summary
+
+def _eval_variant(name, seg, grid, width, args, case_sets, rows):
+    from twinvoice_tpu.eval import run_segmenter_gauntlet, run_e2e_gauntlet
+
+    row = {"variant": name, "width": width, "grid": grid}
+    for (level, heldout), cases in case_sets.items():
+        key = f"{level}{'+heldoutfont' if heldout else ''}"
+        res = run_segmenter_gauntlet(seg, cases)
+        row[key] = {"iou": round(res["iou_mean"], 3),
+                    "box_hit": round(res["box_hit_mean"], 3)}
+        print(json.dumps({"variant": name, "level": key, **res}), flush=True)
+    if args.e2e:
+        from twinvoice_tpu.config import FusionConfig
+        from twinvoice_tpu.fusion.extract import InvoiceExtractor
+        from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+        engine = JaxOcrEngine()
+        if engine.available():
+            ex = InvoiceExtractor(
+                seg, None, engines=[engine],
+                cfg=FusionConfig(use_qr=False, auto_rotate=False),
+            )
+            for level in ("clean", "mild"):
+                res = run_e2e_gauntlet(ex, case_sets[(level, False)])
+                row[f"e2e_{level}"] = res
+                print(json.dumps({"variant": name, "e2e": level, **res}),
+                      flush=True)
+    rows.append(row)
+
+
+def _print_summary(rows):
     keys = [f"{lv}{'+heldoutfont' if ho else ''}" for lv, ho in LEVEL_SETS]
     print("\n| variant | grid | " + " | ".join(f"{k} IoU/hit" for k in keys) + " |")
     print("|" + "---|" * (len(keys) + 2))

@@ -101,6 +101,8 @@ def main():
     ap.add_argument("--out", default=None)
     ap.add_argument("--eval-n", type=int, default=25,
                     help="gauntlet cases per level after training (0 skips)")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from this config's /tmp checkpoint dir")
     args = ap.parse_args()
 
     from twinvoice_tpu.config import Config, InferConfig, TrainConfig, UNetConfig
@@ -126,7 +128,8 @@ def main():
             checkpoint_dir=f"/tmp/seg_ckpt_w{args.width}_g{args.grid}",
         ),
     )
-    state, history = trainer.fit(ds, cfg)
+    resume_dir = cfg.train.checkpoint_dir if args.resume else None
+    state, history = trainer.fit(ds, cfg, resume_dir=resume_dir)
     save_params_npz(out, state.params, state.bn_state)
     print("saved", out, os.path.getsize(out) // 1024, "KB")
     print("final:", history[-1])

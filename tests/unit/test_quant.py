@@ -98,3 +98,27 @@ def test_segmenter_int8_box_path_matches_logits_path(small_model):
     # on the 64-grid -> up to ~1.1*pad in original pixels (640/64 * 1.15)
     diff = np.abs(np.asarray(boxes, np.int64) - np.asarray(boxes_ref, np.int64))
     assert diff[np.asarray(ok_ref)].max() <= 12, diff.max()
+
+
+def test_concat_and_split_decoders_bit_identical(small_model):
+    """quantize_unet harmonizes each skip's requant scale with its paired
+    upsample output, which makes the concat-form decoder conv (the XLA
+    serving formulation — no s32 HBM round-trip) compute the SAME s32 sums
+    as the split form used by the Pallas trunk: outputs must be bit-equal,
+    and the harmonized scales must actually match."""
+    from twinvoice_tpu.infer.quant import unet_apply_quantized_features
+
+    folded, cfg = small_model
+    rng = np.random.default_rng(2)
+    calib = [rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)]
+    q = quantize_unet(folded, calib)
+
+    for j, uq in enumerate(q["up"]):
+        i = len(q["enc"]) - 1 - j
+        assert q["enc"][i]["s2"] == uq["s_out"]
+
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8))
+    h_cat, s_cat = unet_apply_quantized_features(q, imgs, concat=True)
+    h_split, s_split = unet_apply_quantized_features(q, imgs, concat=False)
+    assert s_cat == s_split
+    assert np.array_equal(np.asarray(h_cat), np.asarray(h_split))

@@ -43,13 +43,18 @@ class Segmenter:
         dtype=jnp.float32,
         int8_calib=None,
         int8_pallas=None,
+        int8_head="xla",
     ):
         """``int8_calib``: an iterable of uint8 (B,H,W,3) batches switches the
         forward to the int8 MXU path (infer/quant.py) — weights quantized
         per-channel, activation scales calibrated from these batches. The
         fp32/bf16 folded params are still built (parity surface).
         ``int8_pallas``: route the box-only path through the full-Pallas
-        int8 forward (ops/qconv_pallas); None = auto (TPU yes, CPU no)."""
+        int8 forward (ops/qconv_pallas); None = auto (currently off — see
+        the Mosaic note below). ``int8_head``: "xla" (default — measured
+        faster at batch 128: XLA fuses the 1×1 out-conv into the row/col
+        max-reductions well, while the Pallas head's M=3 micro-GEMMs are
+        latency-bound) or "pallas" (ops/pallas_head fused head)."""
         self.cfg = cfg
         self.model_cfg = model_cfg
         self.dtype = dtype
@@ -67,11 +72,13 @@ class Segmenter:
             folded32 = fold_unet(params, state, cfg=model_cfg)
             self.qparams = quantize_unet(folded32, int8_calib)
             self._q_apply = unet_apply_quantized
-            # The full-Pallas int8 forward (ops/qconv_pallas) is the box-path
-            # default on real TPUs; off-TPU the kernels would run in the slow
-            # interpreter, so CPU (tests) uses the XLA graph + fused head.
+            # The full-Pallas int8 trunk (ops/qconv_pallas) is correct in
+            # interpret mode but this toolchain's Mosaic rejects its halo
+            # windows ("Low padding not supported yet"), so it stays opt-in
+            # until the kernels are reformulated; the serving default is the
+            # XLA int8 trunk (concat-form decoder) + the Pallas fused head.
             if int8_pallas is None:
-                int8_pallas = jax.default_backend() == "tpu"
+                int8_pallas = False
             if int8_pallas:
                 self.pallas_params = prepack_pallas(self.qparams)
 
@@ -82,6 +89,7 @@ class Segmenter:
         q_apply = getattr(self, "_q_apply", None)
         quantized = self.qparams is not None
         use_pallas_trunk = self.pallas_params is not None
+        use_pallas_head = int8_head == "pallas"
 
         @partial(jax.jit, static_argnames=("return_masks",))
         def _run(folded, imgs_u8, orig_sizes, return_masks=True):
@@ -89,7 +97,7 @@ class Segmenter:
             When quantized, ``folded`` is {"q": qparams[, "pq": packed]}."""
             if quantized:
                 folded, pq = folded["q"], folded.get("pq")
-            if quantized and not return_masks:
+            if quantized and not return_masks and use_pallas_head:
                 # box-only throughput path: fused head — the 1×1 out-conv
                 # and the row/col max-reductions run in one Pallas kernel
                 # and the (B,S,S,3) logits tensor is never materialized.

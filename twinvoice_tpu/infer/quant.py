@@ -132,6 +132,17 @@ def quantize_unet(folded, calib_batches):
             "bias": jnp.asarray(np.asarray(folded["out"]["bias"], np.float32)),
         },
     }
+    # Harmonize each skip's requant scale with its paired upsample output so
+    # the decoder conv1 sees ONE input scale. This makes the concat form of
+    # the decoder (one 2C-in conv; XLA fuses the whole epilogue, no s32 HBM
+    # round-trip) bit-identical to the split form: with s_up == s_skip,
+    # (part_up·s + part_skip·s)·w = s·conv(concat). max() only widens a
+    # scale, so nothing clips; one side quantizes ≤1 bit coarser.
+    for j, uq in enumerate(q["up"]):
+        i = len(q["enc"]) - 1 - j
+        common = max(float(q["enc"][i]["s2"]), float(uq["s_out"]))
+        q["enc"][i]["s2"] = common
+        uq["s_out"] = common
     return q
 
 
@@ -182,10 +193,21 @@ def _conv_transpose2x2_i8(x, kernel):
     )
 
 
-def unet_apply_quantized_features(q, imgs_u8):
+def unet_apply_quantized_features(q, imgs_u8, concat=True):
     """uint8 (N,H,W,3) images → (final decoder activations int8 (N,H,W,C),
     their dequant scale). The int8 trunk shared by the logits path and the
-    Pallas fused-head box path (ops/pallas_head)."""
+    Pallas fused-head box path (ops/pallas_head).
+
+    ``concat`` (static) selects the decoder-conv1 formulation. The scales
+    are harmonized at quantize time (s_up == s_skip), so both forms compute
+    the SAME s32 sums and the outputs are bit-identical:
+    - True (serving default): concatenate the two int8 inputs and run ONE
+      2C-in conv — XLA fuses dequant→bias→ReLU→requant into the conv's
+      epilogue, and no s32 tensor ever reaches HBM (the r1 trace showed the
+      split form materializing 4 B/elem partial sums, ~38 ms/batch-128 at
+      full res — docs/PERFORMANCE.md).
+    - False: the split two-conv form (kept for the Pallas trunk kernels and
+      their correctness tests)."""
     xq = (imgs_u8 >> 1).astype(jnp.int8)  # [0,127], scale 2/255 in [0,1] units
     s = INPUT_SCALE
     skips = []
@@ -206,12 +228,18 @@ def unet_apply_quantized_features(q, imgs_u8):
             jnp.round(up * (127.0 / up_q["s_out"])), -127, 127
         ).astype(jnp.int8)
         s_up = up_q["s_out"] / 127.0
-        c = upq.shape[-1]
         k1 = dec_q["conv1"]["kernel"]
         w1 = dec_q["conv1"]["w_scale"]
-        part_up = _conv3x3_i8(upq, {"kernel": k1[:, :, :c]}).astype(jnp.float32)
-        part_skip = _conv3x3_i8(skip, {"kernel": k1[:, :, c:]}).astype(jnp.float32)
-        y = (part_up * s_up + part_skip * s_skip) * w1 + dec_q["conv1"]["bias"]
+        if concat:
+            # s_up == s_skip by quantize-time harmonization
+            hcat = jnp.concatenate([upq, skip], axis=-1)
+            part = _conv3x3_i8(hcat, {"kernel": k1}).astype(jnp.float32)
+            y = part * s_up * w1 + dec_q["conv1"]["bias"]
+        else:
+            c = upq.shape[-1]
+            part_up = _conv3x3_i8(upq, {"kernel": k1[:, :, :c]}).astype(jnp.float32)
+            part_skip = _conv3x3_i8(skip, {"kernel": k1[:, :, c:]}).astype(jnp.float32)
+            y = (part_up * s_up + part_skip * s_skip) * w1 + dec_q["conv1"]["bias"]
         h = _requant(jax.nn.relu(y), dec_q["s1"])
         s1 = dec_q["s1"] / 127.0
         y2 = jax.nn.relu(_qconv(h, s1, dec_q["conv2"], _conv3x3_i8))
@@ -220,9 +248,9 @@ def unet_apply_quantized_features(q, imgs_u8):
     return h, s
 
 
-def unet_apply_quantized(q, imgs_u8):
+def unet_apply_quantized(q, imgs_u8, concat=True):
     """uint8 (N,H,W,3) images → f32 logits, int8 MXU end to end."""
-    h, s = unet_apply_quantized_features(q, imgs_u8)
+    h, s = unet_apply_quantized_features(q, imgs_u8, concat=concat)
     hf = h.astype(jnp.float32) * s
     return conv1x1(hf, q["out"])
 
@@ -327,12 +355,12 @@ def unet_apply_quantized_pallas_rowcol_max(q, pq, imgs_u8):
                                    jnp.float32(s))
 
 
-def unet_apply_quantized_rowcol_max(q, imgs_u8, interpret=None):
+def unet_apply_quantized_rowcol_max(q, imgs_u8, interpret=None, concat=True):
     """uint8 images → (row_max (N,H,3), col_max (N,W,3)) of the *bias-free*
     logits via the Pallas fused head (never materializes the logits tensor).
     Callers fold ``q['out']['bias']`` into their logit thresholds."""
     from twinvoice_tpu.ops.pallas_head import head_rowcol_max
 
-    h, s = unet_apply_quantized_features(q, imgs_u8)
+    h, s = unet_apply_quantized_features(q, imgs_u8, concat=concat)
     w2d = q["out"]["kernel"][0, 0]  # (Cin, 3)
     return head_rowcol_max(h, w2d, jnp.float32(s), interpret=interpret)

@@ -33,24 +33,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _head_kernel(x_ref, w_ref, rowmax_ref, colmax_ref):
-    """Grid step = one image row h.
+    """Grid step = (image row h, column tile j).
 
-    x_ref:      (1, W, C, B) int8 — activations row (batch minor)
+    x_ref:      (1, Wt, C, B) int8 — column tile of an activations row
     w_ref:      (C, 3) bf16 — out-conv weight with the activation scale folded
-    rowmax_ref: (1, 3, B) f32 — max over W of this row's logits
-    colmax_ref: (3, W, B) f32 — running max over rows (revisited block)
+    rowmax_ref: (1, 3, B) f32 — running max over column tiles (revisited per j)
+    colmax_ref: (3, Wt, B) f32 — running max over rows (revisited per h)
+
+    W is tiled because a full 512-col row at batch 128 blows the kernel's
+    VMEM stack (~80 MB measured); per-tile intermediates stay a few MB.
     """
     h = pl.program_id(0)
-    x = x_ref[0].astype(jnp.bfloat16)          # (W, C, B)
+    j = pl.program_id(1)
+    x = x_ref[0].astype(jnp.bfloat16)          # (Wt, C, B)
     w = w_ref[:]                               # (C, 3)
-    # (3, C) @ (W, C, B) contracting C -> (3, W, B); bias is added by the
+    # (3, C) @ (Wt, C, B) contracting C -> (3, Wt, B); bias is added by the
     # caller to the thresholds instead (max(x)+b > t  ⟺  max(x) > t-b).
     logits = jax.lax.dot_general(
         w.T, x,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )                                           # (3, W, B)
-    rowmax_ref[0] = jnp.max(logits, axis=1)     # (3, B)
+    )                                           # (3, Wt, B)
+    tile_max = jnp.max(logits, axis=1)          # (3, B)
+
+    @pl.when(j == 0)
+    def _():
+        rowmax_ref[0] = tile_max
+
+    @pl.when(j > 0)
+    def _():
+        rowmax_ref[0] = jnp.maximum(rowmax_ref[0], tile_max)
 
     @pl.when(h == 0)
     def _():
@@ -77,18 +89,22 @@ def _head_rowcol_max(h_nhwc_s8, w, act_scale, interpret=False):
     x = jnp.transpose(h_nhwc_s8, (1, 2, 3, 0))  # (H, W, C, B) — bitcast on TPU
     wf = (w.astype(jnp.float32) * act_scale).astype(jnp.bfloat16)
 
+    wt = ww
+    while wt > 64 and wt % 2 == 0:
+        wt //= 2
+
     rowmax, colmax = pl.pallas_call(
         _head_kernel,
-        grid=(hh,),
+        grid=(hh, ww // wt),
         in_specs=[
-            pl.BlockSpec((1, ww, c, b), lambda h: (h, 0, 0, 0),
+            pl.BlockSpec((1, wt, c, b), lambda h, j: (h, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((c, 3), lambda h: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3), lambda h, j: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 3, b), lambda h: (h, 0, 0),
+            pl.BlockSpec((1, 3, b), lambda h, j: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, ww, b), lambda h: (0, 0, 0),
+            pl.BlockSpec((3, wt, b), lambda h, j: (0, j, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
