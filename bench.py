@@ -1,9 +1,21 @@
 """End-to-end serving benchmark: invoice images/sec/chip.
 
 Measures the BASELINE primary metric (BASELINE.md): uint8 512×512 batch →
-normalize → BN-folded bf16 U-Net → sigmoid → per-field threshold → bbox
-scale/pad — the full preproc+segment+crop-box pipeline as one jitted graph —
-on whatever single chip is available (TPU when run by the driver).
+normalize → BN-folded bf16 U-Net → logit-space bbox → box fetch — the full
+preproc+segment+crop-box pipeline as one jitted graph — on whatever single
+chip is available (TPU when run by the driver).
+
+The benched flagship is the **bundled TRAINED width-16 segmenter** (the
+model the shipped recognition stack actually runs; quality evidence:
+docs/PERFORMANCE.md gauntlet table — held-out fonts/content + photographic
+perturbations it can fail). bf16 is its fastest mode (int8 loses at width
+16 — the graph is memory-bound and requant epilogues outweigh the halved
+MXU work; measured in docs/PERFORMANCE.md). The width-64 reference
+architecture (375 bf16 / 483 int8 img/s) remains available via
+UNetConfig(base_width=64) and scripts/bench_int8_serving.py.
+
+Falls back to the width-64 reference architecture with random weights if
+the bundled weights are missing, so the driver always gets a number.
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "img/s", "vs_baseline": N}
@@ -17,20 +29,33 @@ import time
 import numpy as np
 
 
-def main():
+def build_segmenter():
     import jax
     import jax.numpy as jnp
 
     from twinvoice_tpu.config import InferConfig, UNetConfig
     from twinvoice_tpu.infer.pipeline import Segmenter
+    from twinvoice_tpu.models import pretrained
     from twinvoice_tpu.models.unet import init_unet
 
-    mcfg = UNetConfig()
     icfg = InferConfig()
-    batch = 128  # throughput sweet spot on v5e: b32=208, b64=231, b128=289 img/s
-
+    if pretrained.available():
+        seg = pretrained.load_pretrained_segmenter(
+            dtype=jnp.bfloat16, infer_cfg=icfg
+        )
+        label = "trained w16"
+        return seg, icfg, label
+    mcfg = UNetConfig()
     params, state = init_unet(jax.random.key(0), mcfg)
     seg = Segmenter(params, state, mcfg, icfg, dtype=jnp.bfloat16)
+    return seg, icfg, "w64 (random init fallback)"
+
+
+def main():
+    import jax.numpy as jnp
+
+    seg, icfg, label = build_segmenter()
+    batch = 128  # throughput sweet spot on v5e (b32=208 ... b128 best)
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
@@ -54,7 +79,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "invoice images/sec/chip end-to-end (preproc+U-Net+bbox, bf16 batch-128 512^2)",
+                "metric": (
+                    f"invoice images/sec/chip end-to-end "
+                    f"(preproc+U-Net+bbox, {label} bf16 batch-{batch} "
+                    f"{icfg.img_size}^2; quality: docs/PERFORMANCE.md gauntlet)"
+                ),
                 "value": round(img_per_s, 2),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / 1000.0, 4),

@@ -33,16 +33,19 @@ def main(batch=32, int8=False):
     )
 
     if int8:
-        from twinvoice_tpu.infer.quant import quantize_unet, unet_apply_quantized
+        # trace the REAL int8 serving box path (concat trunk + bbox head)
+        from twinvoice_tpu.config import InferConfig
+        from twinvoice_tpu.infer.pipeline import Segmenter
 
-        folded = quantize_unet(
-            fold_unet(params, state, cfg=mcfg), [np.asarray(imgs[:8])]
-        )
+        seg = Segmenter(params, state, mcfg, InferConfig(),
+                        dtype=jnp.bfloat16, int8_calib=[np.asarray(imgs[:8])])
+        sizes = jnp.asarray([[1920, 1080]] * batch, jnp.int32)
 
-        @jax.jit
         def f(folded, imgs):
-            return unet_apply_quantized(folded, imgs)[:, :1, :1]
+            _, boxes, _ = seg.segment_batch(imgs, sizes, return_masks=False)
+            return boxes
 
+        folded = None
     else:
         folded = fold_unet(params, state, cfg=mcfg, dtype=jnp.bfloat16)
 
