@@ -80,7 +80,12 @@ class Segmenter:
             if int8_pallas is None:
                 int8_pallas = False
             if int8_pallas:
-                self.pallas_params = prepack_pallas(self.qparams)
+                # chunking follows the serving tile plan: grid from cfg,
+                # batch 128 (the throughput batch; kernels assert on
+                # mismatch with a clear message)
+                self.pallas_params = prepack_pallas(
+                    self.qparams, img_size=cfg.img_size
+                )
 
         size = cfg.img_size
 

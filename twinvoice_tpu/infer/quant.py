@@ -255,38 +255,57 @@ def unet_apply_quantized(q, imgs_u8, concat=True):
     return conv1x1(hf, q["out"])
 
 
-def prepack_pallas(q):
-    """qparams → prepacked GEMM-layout weights for the full-Pallas forward
-    (ops/qconv_pallas). Done once at Segmenter build time."""
+def prepack_pallas(q, img_size=512, batch=128):
+    """qparams → prepacked GEMM-layout weights for the Pallas frame forward
+    (ops/qconv_pallas). Done once at Segmenter build time.
+
+    ``img_size``/``batch`` must match the serving shapes: the Cin chunking
+    baked into each packed weight follows the same per-layer tile plan the
+    apply computes from the live tensor shapes (the kernels assert on
+    mismatch)."""
     from twinvoice_tpu.ops import qconv_pallas as QP
 
+    def cc_for(h, cin, w, cout, two=False):
+        return QP._plan_tiles(h, cin, w, batch, cout, two_inputs=two)[2]
+
     pq = {"enc": [], "dec": [], "up": []}
-    for lq in q["enc"]:
-        pq["enc"].append({
-            "w1": QP.pack_w3x3(lq["conv1"]["kernel"]),
-            "w2": QP.pack_w3x3(lq["conv2"]["kernel"]),
-        })
+    hw = img_size
+    for i, lq in enumerate(q["enc"]):
+        k1 = np.asarray(lq["conv1"]["kernel"])
+        k2 = np.asarray(lq["conv2"]["kernel"])
+        entry = {"w2": QP.pack_w3x3(
+            k2, cc_for(hw, k2.shape[2], hw, k2.shape[3]))}
+        if i > 0:  # enc0 conv1 is the XLA stem
+            entry["w1"] = QP.pack_w3x3(
+                k1, cc_for(hw, k1.shape[2], hw, k1.shape[3]))
+        pq["enc"].append(entry)
+        hw //= 2
+    kb1 = np.asarray(q["bottleneck"]["conv1"]["kernel"])
+    kb2 = np.asarray(q["bottleneck"]["conv2"]["kernel"])
     pq["bottleneck"] = {
-        "w1": QP.pack_w3x3(q["bottleneck"]["conv1"]["kernel"]),
-        "w2": QP.pack_w3x3(q["bottleneck"]["conv2"]["kernel"]),
+        "w1": QP.pack_w3x3(kb1, cc_for(hw, kb1.shape[2], hw, kb1.shape[3])),
+        "w2": QP.pack_w3x3(kb2, cc_for(hw, kb2.shape[2], hw, kb2.shape[3])),
     }
-    for uq in q["up"]:
+    for uq, dq in zip(q["up"], q["dec"]):
+        hw *= 2
         pq["up"].append(QP.pack_wup(uq["kernel"]))
-    for dq in q["dec"]:
         k1 = np.asarray(dq["conv1"]["kernel"])
+        k2 = np.asarray(dq["conv2"]["kernel"])
         c = k1.shape[2] // 2
+        cc1 = cc_for(hw, c, hw, k1.shape[3], two=True)
         pq["dec"].append({
-            "w1_up": QP.pack_w3x3(k1[:, :, :c]),
-            "w1_skip": QP.pack_w3x3(k1[:, :, c:]),
-            "w2": QP.pack_w3x3(dq["conv2"]["kernel"]),
+            "w1_up": QP.pack_w3x3(k1[:, :, :c], cc1),
+            "w1_skip": QP.pack_w3x3(k1[:, :, c:], cc1),
+            "w2": QP.pack_w3x3(k2, cc_for(hw, k2.shape[2], hw, k2.shape[3])),
         })
     return pq
 
 
 def unet_apply_quantized_pallas_rowcol_max(q, pq, imgs_u8):
-    """Full-Pallas int8 forward: every conv/pool/upsample after the stem is
-    an ops/qconv_pallas kernel in the (H, C, W, N) layout — no s32 tensor
-    ever reaches HBM and the final logits are reduced in-kernel (fused head).
+    """Pallas-trunk int8 forward: every conv/pool/upsample after the stem is
+    an ops/qconv_pallas frame kernel — no s32 tensor ever reaches HBM; the
+    1×1 logit head runs as an XLA einsum on the frame (a Pallas head was
+    measured latency-bound, docs/PERFORMANCE.md).
 
     Returns (row_max (N,H,3), col_max (N,W,3)) f32 *bias-free* logit maxima;
     callers fold ``q["out"]["bias"]`` into their thresholds.
@@ -296,7 +315,7 @@ def unet_apply_quantized_pallas_rowcol_max(q, pq, imgs_u8):
     from twinvoice_tpu.ops import qconv_pallas as QP
 
     # Stem: XLA conv with an HCWN output spec — the layout change rides the
-    # conv's output write instead of a separate 2.1 GB transpose pass; the
+    # conv's output write instead of a separate transpose pass; the
     # dequant→ReLU→requant epilogue fuses into it as usual.
     xq = (imgs_u8 >> 1).astype(jnp.int8)
     st = q["enc"][0]["conv1"]
@@ -309,6 +328,7 @@ def unet_apply_quantized_pallas_rowcol_max(q, pq, imgs_u8):
     y = jax.nn.relu(y + st["bias"].reshape(1, -1, 1, 1))
     s1 = q["enc"][0]["s1"]
     h = jnp.clip(jnp.round(y * (127.0 / s1)), 0, 127).astype(jnp.int8)
+    h = QP.to_frame(h)
     s = s1 / 127.0
 
     skips = []
@@ -340,19 +360,21 @@ def unet_apply_quantized_pallas_rowcol_max(q, pq, imgs_u8):
             uq.get("bias", jnp.zeros(up_w.shape[2], jnp.float32)),
             uq["s_out"])
         s_up = uq["s_out"] / 127.0
+        # s_up == s_skip (harmonized at quantize time) and the per-cout
+        # weight scale spans the whole conv1 kernel, so both halves share
+        # one dequant factor and can accumulate in one s32 scratch.
         c1 = dq["conv1"]
         h = QP.qconv3x3_split_requant(
             h, skip, dp["w1_up"], dp["w1_skip"],
-            s_up * c1["w_scale"], s_skip * c1["w_scale"], c1["bias"],
-            dq["s1"])
+            s_up * c1["w_scale"], c1["bias"], dq["s1"])
         s = dq["s1"] / 127.0
         c2 = dq["conv2"]
         h = QP.qconv3x3_requant(
             h, dp["w2"], s * c2["w_scale"], c2["bias"], dq["s2"])
         s = dq["s2"] / 127.0
 
-    return QP.head_rowcol_max_hcwn(h, q["out"]["kernel"][0, 0],
-                                   jnp.float32(s))
+    return QP.head_rowcol_max_frame(h, q["out"]["kernel"][0, 0],
+                                    jnp.float32(s))
 
 
 def unet_apply_quantized_rowcol_max(q, imgs_u8, interpret=None, concat=True):

@@ -1,33 +1,48 @@
-"""Pallas int8 U-Net kernels — fused conv+requant in an (H, C, W, N) layout.
+"""Pallas int8 U-Net kernels in a zero-bordered (H, C, W, N) "frame" layout.
 
-Why (VERDICT r1 #2): the int8 XLA serving graph (infer/quant.py) loses ~40%
-of its runtime to two structural problems the XLA fusion pass cannot fix:
+Why (VERDICT r1 #2): the int8 XLA serving graph (infer/quant.py) leaves
+~2× on the table at the full-resolution stages — the r1 trace measured the
+512²×64ch convs at ~28% of int8 MXU peak under XLA's conv emitter. These
+kernels stream row-strips through VMEM and express each conv as dy-packed
+int8 GEMMs (lhs (Cout, 3·Cin·chunk) @ rhs (3·Cin·chunk, Wt, N)) with the
+dequant→(split add)→bias→ReLU→requant epilogue fused in-kernel, so nothing
+wider than int8 ever touches HBM.
 
-1. **s32 materialization.** The split-decoder convs (`part_up`/`part_skip`,
-   quant.py) force XLA to write raw s32 conv outputs to HBM (4 bytes/elem at
-   full resolution — fusion.30 alone is 17.5 ms/batch-128) because the
-   combining add lives in a different fusion. Here conv → dequant → add →
-   ReLU → requant is ONE kernel; nothing wider than int8 ever leaves VMEM.
-2. **Phase overlap at full resolution.** The 512²×64ch convs run at ~28% of
-   the int8 MXU peak under XLA's conv emitter. The strip kernel pipelines
-   HBM→VMEM row-strips (pl.Element halo windows, double-buffered by the
-   Pallas runtime) against dy-packed GEMMs (K = 3·Cin).
+Layout: lanes = batch N, sublanes = W. A row strip x[h-1:h+2] is contiguous
+in (dy, Cin), so the GEMM needs no in-kernel shuffling: K is a free reshape
+and the three dx taps are free W-slices of the halo'd block.
 
-Layout: activations are (H, C, W, N) — lanes = batch N, sublanes = W.
-A row strip x[h-1:h+2] is then contiguous in (dy, Cin), so the kernel GEMM
-  lhs (Cout, 3·Cin) @ rhs (3·Cin, Wt, N)
-needs no in-kernel data shuffling at all: the K dimension is a free reshape
-and the three dx taps are free W-dim slices of the halo'd block.
+**The frame format** — how the halo works on THIS toolchain. Mosaic here
+rejects block windows with OOB padding ("Low padding not supported yet")
+and cannot prove alignment for Element-indexed *output* windows, so:
 
-Weight prepack: ``pack_w3x3`` rearranges an HWIO (3,3,Cin,Cout) int8 kernel
-to (3dx, Cout, 3dy·Cin) so ``w[dx]`` is the GEMM lhs.
+- Every activation is stored with a fixed ZERO border: frame shape
+  (H + 2·FH, C, W + 2·FW, N), interior at ``[FH:FH+H, :, FW:FW+W]``,
+  FH=4 / FW=32. The zero border IS the conv's SAME padding (matching
+  ops/conv.conv3x3 and the torch reference, unet_model.py:10).
+- Output tiles use plain *blocked* BlockSpecs over the frame. Border
+  thickness is a multiple of every tile size (Hs ∈ {1,2,4} | FH,
+  Wt ∈ {8,16,32} | FW), so each output tile is purely border or purely
+  interior; border tiles just write zeros — border maintenance costs no
+  separate pass.
+- Input halo windows use Element indexing in the one form the toolchain
+  accepts (verified by direct probe): in-bounds windows, W offsets written
+  as ``8·(…)`` so the divisibility prover succeeds. Border tiles clamp
+  their (unused) windows into bounds; int8 garbage cannot NaN.
+- Cin is chunked across the innermost grid dimension with an s32 VMEM
+  scratch accumulator (epilogue on the last chunk), keeping VMEM bounded
+  at the deep 512-channel layers.
 
-Boundary semantics: pl.Element windows expose garbage in the halo positions
-at array edges; every kernel masks them to zero (SAME zero padding —
-matching ops/conv.conv3x3 and the torch reference, unet_model.py:10).
+The decoder's split conv (upsample half + skip half) accumulates both
+GEMMs into one s32 accumulator — valid because quantize_unet harmonizes
+the two input scales and the per-cout weight scale spans the whole kernel,
+so both halves share one dequant factor.
 
-Used by infer/quant.py's `unet_apply_quantized_pallas` for the serving box
-path; correctness is pinned against the XLA int8 graph in
+The 1×1 logit head stays in XLA (einsum on the frame) — a Pallas head was
+measured latency-bound (M=3 micro-GEMMs, docs/PERFORMANCE.md post-mortem).
+
+Used by infer/quant.py's `unet_apply_quantized_pallas_rowcol_max`;
+correctness is pinned against the XLA int8 graph in
 tests/unit/test_qconv_pallas.py (interpret mode, CPU).
 """
 
@@ -41,28 +56,29 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+FH = 4    # frame border rows (top and bottom)
+FW = 32   # frame border cols (left and right)
+
 
 def _interpret_default():
     return jax.default_backend() != "tpu"
 
 
-# ------------------------------------------------------------------ prepack
+# ------------------------------------------------------------------- frame
 
 
-def pack_w3x3(kernel_hwio):
-    """(3,3,Cin,Cout) int8 HWIO → (3dx, Cout, 3dy·Cin) GEMM lhs."""
-    k = np.asarray(kernel_hwio)
-    _, _, cin, cout = k.shape
-    out = np.zeros((3, cout, 3 * cin), k.dtype)
-    for dx in range(3):
-        for dy in range(3):
-            out[dx, :, dy * cin : (dy + 1) * cin] = k[dy, dx].T
-    return jnp.asarray(out)
+def to_frame(x_hcwn):
+    """(H, C, W, N) → zero-bordered frame (H+2·FH, C, W+2·FW, N)."""
+    return jnp.pad(x_hcwn, ((FH, FH), (0, 0), (FW, FW), (0, 0)))
+
+
+def from_frame(xf):
+    """Interior view of a frame."""
+    return xf[FH:-FH, :, FW:-FW, :]
 
 
 def to_hcwn(x_nhwc):
-    """(N, H, W, C) → (H, C, W, N). A real transpose under XLA; used at the
-    Pallas-region boundaries (cheap for uint8 input / small deep tensors)."""
+    """(N, H, W, C) → (H, C, W, N)."""
     return jnp.transpose(x_nhwc, (1, 3, 2, 0))
 
 
@@ -74,176 +90,228 @@ def from_hcwn(x_hcwn):
 # ------------------------------------------------------------ tile planning
 
 
-def _plan_tiles(h, cin, w, n, cout, cin2=0, budget=11 << 20):
-    """Pick (Hs, Wt) so the kernel's VMEM footprint stays under ``budget``:
-    2×(double-buffered input strips) + s32 accumulator + output block."""
-    for wt in (256, 128, 64, 32, 16, 8):
-        if w % wt and wt <= w:
-            continue
-        wt_eff = min(wt, w)
-        if w % wt_eff:
+def _plan_tiles(h, cin, w, n, cout, two_inputs=False, budget=10 << 20):
+    """→ (Hs, Wt, CC): row-strip height, W tile, Cin chunk. Constraints:
+    Hs | h and Hs | FH; Wt | w and Wt | FW; VMEM ≤ budget."""
+    n_in = 2 if two_inputs else 1
+    # production W (≥24) always hits an 8-multiple tile; the sub-8 tiles
+    # exist for tiny CPU-test nets (interpret mode has no alignment prover)
+    for wt in (32, 16, 8, 4, 2, 1):
+        if w % wt:
             continue
         for hs in (4, 2, 1):
             if h % hs:
                 continue
-            in_bytes = 2 * (hs + 2) * (cin + cin2) * (wt_eff + 2) * n
-            acc_bytes = cout * wt_eff * n * 4
-            out_bytes = 2 * hs * cout * wt_eff * n
-            if in_bytes + acc_bytes + out_bytes <= budget:
-                return hs, wt_eff
-    return 1, min(8, w)
+            for cc in (cin, 256, 128, 64):
+                if cc > cin or cin % cc:
+                    continue
+                in_b = 2 * n_in * (hs + 2) * cc * (wt + 2 * 8) * n
+                acc_b = hs * cout * wt * n * 4
+                out_b = 2 * hs * cout * wt * n
+                w_b = n_in * 3 * cout * 3 * cc
+                if in_b + acc_b + out_b + w_b <= budget:
+                    return hs, wt, cc
+    return 1, 8, min(64, cin)
+
+
+# ------------------------------------------------------------------ prepack
+
+
+def pack_w3x3(kernel_hwio, cc=None):
+    """(3,3,Cin,Cout) int8 HWIO → (Cin/cc, 3dx, Cout, 3dy·cc) GEMM lhs
+    chunked over Cin (``cc`` defaults to all of Cin → leading dim 1)."""
+    k = np.asarray(kernel_hwio)
+    _, _, cin, cout = k.shape
+    cc = cc or cin
+    assert cin % cc == 0
+    nci = cin // cc
+    out = np.zeros((nci, 3, cout, 3 * cc), k.dtype)
+    for ci in range(nci):
+        for dx in range(3):
+            for dy in range(3):
+                out[ci, dx, :, dy * cc : (dy + 1) * cc] = (
+                    k[dy, dx, ci * cc : (ci + 1) * cc].T
+                )
+    return jnp.asarray(out)
 
 
 # ------------------------------------------------------- conv3x3 + requant
 
 
-def _make_qconv_kernel(H, W, Cin, Cout, N, Hs, Wt, relu, split, Cin2=0):
-    """Kernel body factory. ``split``: two inputs, separately dequantized
-    partial sums added before bias/ReLU (the concat-free decoder conv1)."""
+def _make_qconv_kernel(CC, Wt, Hs, relu, split, kh, kl, bh, bw):
+    """Kernel factory for the frame-format conv. Grid = (k, l, ci), ci
+    innermost (accumulation). (kh, kl) = grid extent, (bh, bw) = number of
+    border tiles on each side."""
 
     def kernel(*refs):
         if split:
-            (x_ref, x2_ref, w_ref, w2_ref, a_ref, a2_ref, b_ref, os_ref,
-             o_ref, acc, acc2) = refs
+            x_ref, x2_ref, w_ref, w2_ref, a_ref, b_ref, os_ref, o_ref, acc = refs
         else:
             x_ref, w_ref, a_ref, b_ref, os_ref, o_ref, acc = refs
-        i = pl.program_id(0)
-        j = pl.program_id(1)
-        rows = i * Hs - 1 + jax.lax.broadcasted_iota(
-            jnp.int32, (Hs + 2, 1, 1, 1), 0)
-        cols = j * Wt - 1 + jax.lax.broadcasted_iota(
-            jnp.int32, (1, 1, Wt + 2, 1), 2)
-        ok = (rows >= 0) & (rows < H) & (cols >= 0) & (cols < W)
-        x = jnp.where(ok, x_ref[:], 0)
-        if split:
-            x2 = jnp.where(ok, x2_ref[:], 0)
+        k = pl.program_id(0)
+        l = pl.program_id(1)
+        ci = pl.program_id(2)
+        nci = pl.num_programs(2)
+        Cout = o_ref.shape[1]
 
-        inv_os = 127.0 / os_ref[0, 0]
-        for r in range(Hs):
-            k3 = x[r : r + 3].reshape(3 * Cin, Wt + 2, N)
+        @pl.when(ci == 0)
+        def _():
             acc[:] = jnp.zeros_like(acc)
+
+        for r in range(Hs):
+            k3 = x_ref[r : r + 3].reshape(3 * CC, Wt + 16, -1)
             for dx in range(3):
-                acc[:] += jax.lax.dot_general(
-                    w_ref[dx], k3[:, dx : dx + Wt, :],
+                acc[r] += jax.lax.dot_general(
+                    w_ref[0, dx], k3[:, dx + 7 : dx + 7 + Wt, :],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-            y = acc[:].astype(jnp.float32) * a_ref[:].reshape(Cout, 1, 1)
             if split:
-                k3b = x2[r : r + 3].reshape(3 * Cin2, Wt + 2, N)
-                acc2[:] = jnp.zeros_like(acc2)
+                k3b = x2_ref[r : r + 3].reshape(3 * CC, Wt + 16, -1)
                 for dx in range(3):
-                    acc2[:] += jax.lax.dot_general(
-                        w2_ref[dx], k3b[:, dx : dx + Wt, :],
+                    acc[r] += jax.lax.dot_general(
+                        w2_ref[0, dx], k3b[:, dx + 7 : dx + 7 + Wt, :],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.int32,
                     )
-                y = y + acc2[:].astype(jnp.float32) * a2_ref[:].reshape(Cout, 1, 1)
-            y = y + b_ref[:].reshape(Cout, 1, 1)
+
+        @pl.when(ci == nci - 1)
+        def _():
+            interior = (
+                (k >= bh) & (k < kh - bh) & (l >= bw) & (l < kl - bw)
+            )
+            inv_os = 127.0 / os_ref[0, 0]
+            a = a_ref[:].reshape(1, Cout, 1, 1)
+            b = b_ref[:].reshape(1, Cout, 1, 1)
+            y = acc[:].astype(jnp.float32) * a + b
             if relu:
                 y = jnp.maximum(y, 0.0)
-                o_ref[r] = jnp.clip(jnp.round(y * inv_os), 0, 127
-                                    ).astype(jnp.int8)
+                q = jnp.clip(jnp.round(y * inv_os), 0, 127)
             else:
-                o_ref[r] = jnp.clip(jnp.round(y * inv_os), -127, 127
-                                    ).astype(jnp.int8)
+                q = jnp.clip(jnp.round(y * inv_os), -127, 127)
+            o_ref[:] = jnp.where(interior, q, 0.0).astype(jnp.int8)
 
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("relu", "interpret", "tiles"),
-)
+def _halo_in_spec(Hs, cc, Wt, N, hp, wp):
+    """Element-indexed in-bounds halo window over the frame: rows
+    [k·Hs-1, ·+Hs+2), cols [l·Wt-8, ·+Wt+16), clamped into bounds for the
+    border tiles (whose data is unused). W offsets are written as 8·(…)
+    so Mosaic's divisibility prover accepts them."""
+    E = pl.Element
+    max_h = hp - (Hs + 2)
+    if Wt % 8 == 0:
+        # write the W offset as 8·(…) so Mosaic's divisibility prover
+        # accepts it on real TPU
+        max_w8 = (wp - (Wt + 16)) // 8
+        wt8 = Wt // 8
+
+        def woff(l):
+            return 8 * jnp.clip(l * wt8 - 1, 0, max_w8)
+    else:  # tiny CPU-test tiles; interpret mode only
+        max_w = wp - (Wt + 16)
+
+        def woff(l):
+            return jnp.clip(l * Wt - 8, 0, max_w)
+
+    def idx(k, l, ci):
+        return (jnp.clip(k * Hs - 1, 0, max_h), ci * cc, woff(l), 0)
+
+    return pl.BlockSpec(
+        (E(Hs + 2, (0, 0)), E(cc, (0, 0)), E(Wt + 16, (0, 0)), E(N, (0, 0))),
+        idx,
+        memory_space=pltpu.VMEM,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("relu", "interpret", "tiles"))
 def qconv3x3_requant(x, wpack, a, bias, out_scale, *, relu=True,
                      interpret=None, tiles=None):
-    """int8 3×3 SAME conv → f32 epilogue → s8, in (H, Cin, W, N) layout.
+    """int8 3×3 SAME conv → f32 epilogue → s8 on frame-format tensors.
 
-    ``a``: (Cout,) f32 = s_in · w_scale (dequant factor per out channel).
-    ``bias``: (Cout,) f32. ``out_scale``: scalar f32 — output requantizes to
+    ``x``: frame (H+2FH, Cin, W+2FW, N) with zero borders; returns the same
+    format. ``wpack``: (Cin/cc, 3, Cout, 3·cc) from :func:`pack_w3x3` —
+    its chunking must match ``tiles``. ``a``: (Cout,) f32 = s_in·w_scale.
+    ``bias``: (Cout,) f32. ``out_scale``: scalar f32; output requantizes to
     ``clip(round(relu(y)·127/out_scale))`` exactly like quant._requant.
     """
     if interpret is None:
         interpret = _interpret_default()
-    H, Cin, W, N = x.shape
-    Cout = wpack.shape[1]
-    Hs, Wt = tiles or _plan_tiles(H, Cin, W, N, Cout)
-    E = pl.Element
-    kern = _make_qconv_kernel(H, W, Cin, Cout, N, Hs, Wt, relu, split=False)
+    Hp, Cin, Wp, N = x.shape
+    H, W = Hp - 2 * FH, Wp - 2 * FW
+    Cout = wpack.shape[2]
+    Hs, Wt, CC = tiles or _plan_tiles(H, Cin, W, N, Cout)
+    assert wpack.shape[0] == Cin // CC and wpack.shape[3] == 3 * CC, (
+        "wpack chunking disagrees with tile plan; pass matching tiles=")
+    kh, kl = Hp // Hs, Wp // Wt
+    bh, bw = FH // Hs, FW // Wt
+    kern = _make_qconv_kernel(CC, Wt, Hs, relu, False, kh, kl, bh, bw)
     return pl.pallas_call(
         kern,
-        grid=(H // Hs, W // Wt),
+        grid=(kh, kl, Cin // CC),
         in_specs=[
-            pl.BlockSpec((E(Hs + 2, (1, 1)), E(Cin), E(Wt + 2, (1, 1)), E(N)),
-                         lambda i, j: (i * Hs, 0, j * Wt, 0),
+            _halo_in_spec(Hs, CC, Wt, N, Hp, Wp),
+            pl.BlockSpec((1, 3, Cout, 3 * CC), lambda k, l, ci: (ci, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Cout, 3 * Cin), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((Cout, 1), lambda k, l, ci: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((Cout, 1), lambda k, l, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda k, l, ci: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((Hs, Cout, Wt, N), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((Hs, Cout, Wt, N), lambda k, l, ci: (k, 0, l, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, Cout, W, N), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((Cout, Wt, N), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((Hp, Cout, Wp, N), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((Hs, Cout, Wt, N), jnp.int32)],
         interpret=interpret,
     )(x, wpack, a.astype(jnp.float32).reshape(-1, 1),
       bias.astype(jnp.float32).reshape(-1, 1),
       jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("relu", "interpret", "tiles"),
-)
-def qconv3x3_split_requant(x, x2, wpack, wpack2, a, a2, bias, out_scale, *,
+@functools.partial(jax.jit, static_argnames=("relu", "interpret", "tiles"))
+def qconv3x3_split_requant(x, x2, wpack, wpack2, a, bias, out_scale, *,
                            relu=True, interpret=None, tiles=None):
-    """Fused concat-free decoder conv1: two int8 inputs (upsample path and
-    skip path), separately dequantized, summed, bias+ReLU, requantized —
-    one kernel instead of XLA's conv→s32 HBM→add→requant chain."""
+    """Decoder conv1 on two frame inputs (upsample half, skip half) with a
+    SHARED dequant factor ``a`` (valid: quantize_unet harmonizes the two
+    input scales and the weight scale spans the whole conv1 kernel); both
+    GEMMs accumulate into one s32 scratch — no s32 ever reaches HBM."""
     if interpret is None:
         interpret = _interpret_default()
-    H, Cin, W, N = x.shape
-    Cin2 = x2.shape[1]
-    Cout = wpack.shape[1]
-    Hs, Wt = tiles or _plan_tiles(H, Cin, W, N, Cout, cin2=Cin2)
-    E = pl.Element
-    kern = _make_qconv_kernel(H, W, Cin, Cout, N, Hs, Wt, relu, split=True,
-                              Cin2=Cin2)
-
-    def _xspec(c):
-        return pl.BlockSpec((E(Hs + 2, (1, 1)), E(c), E(Wt + 2, (1, 1)), E(N)),
-                            lambda i, j: (i * Hs, 0, j * Wt, 0),
-                            memory_space=pltpu.VMEM)
-
+    Hp, Cin, Wp, N = x.shape
+    H, W = Hp - 2 * FH, Wp - 2 * FW
+    assert x2.shape == x.shape, "split halves must have equal channels"
+    Cout = wpack.shape[2]
+    Hs, Wt, CC = tiles or _plan_tiles(H, Cin, W, N, Cout, two_inputs=True)
+    assert wpack.shape[0] == Cin // CC and wpack.shape[3] == 3 * CC
+    kh, kl = Hp // Hs, Wp // Wt
+    bh, bw = FH // Hs, FW // Wt
+    kern = _make_qconv_kernel(CC, Wt, Hs, relu, True, kh, kl, bh, bw)
     return pl.pallas_call(
         kern,
-        grid=(H // Hs, W // Wt),
+        grid=(kh, kl, Cin // CC),
         in_specs=[
-            _xspec(Cin),
-            _xspec(Cin2),
-            pl.BlockSpec((3, Cout, 3 * Cin), lambda i, j: (0, 0, 0),
+            _halo_in_spec(Hs, CC, Wt, N, Hp, Wp),
+            _halo_in_spec(Hs, CC, Wt, N, Hp, Wp),
+            pl.BlockSpec((1, 3, Cout, 3 * CC), lambda k, l, ci: (ci, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, Cout, 3 * Cin2), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((1, 3, Cout, 3 * CC), lambda k, l, ci: (ci, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((Cout, 1), lambda k, l, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout, 1), lambda k, l, ci: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda k, l, ci: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((Hs, Cout, Wt, N), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((Hs, Cout, Wt, N), lambda k, l, ci: (k, 0, l, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H, Cout, W, N), jnp.int8),
-        scratch_shapes=[
-            pltpu.VMEM((Cout, Wt, N), jnp.int32),
-            pltpu.VMEM((Cout, Wt, N), jnp.int32),
-        ],
+        out_shape=jax.ShapeDtypeStruct((Hp, Cout, Wp, N), jnp.int8),
+        scratch_shapes=[pltpu.VMEM((Hs, Cout, Wt, N), jnp.int32)],
         interpret=interpret,
     )(x, x2, wpack, wpack2, a.astype(jnp.float32).reshape(-1, 1),
-      a2.astype(jnp.float32).reshape(-1, 1),
       bias.astype(jnp.float32).reshape(-1, 1),
       jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
 
@@ -253,28 +321,43 @@ def qconv3x3_split_requant(x, x2, wpack, wpack2, a, a2, bias, out_scale, *,
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def max_pool2_hcwn(x, interpret=None):
-    """2×2 stride-2 max pool on int8 (H, C, W, N) → (H/2, C, W/2, N)."""
+    """2×2 stride-2 max pool on frames: (H+2FH, C, W+2FW, N) →
+    (H/2+2FH, C, W/2+2FW, N). Pure blocked specs — the input block index
+    is derived from the output block index (clamped for border tiles,
+    whose output is zero)."""
     if interpret is None:
         interpret = _interpret_default()
-    H, C, W, N = x.shape
+    Hp, C, Wp, N = x.shape
+    H, W = Hp - 2 * FH, Wp - 2 * FW
+    Ho, Wo = H // 2, W // 2
+    Hpo, Wpo = Ho + 2 * FH, Wo + 2 * FW
+
+    wt = max(c for c in (16, 8, 4, 2, 1) if Wo % c == 0)
+    while 2 * 2 * C * 2 * wt * N + C * wt * N > (10 << 20) and wt > 8:
+        wt //= 2
+    kl = Wpo // wt
+    bw = FW // wt
+    in_kl = Wp // (2 * wt)
 
     def kernel(x_ref, o_ref):
-        a = jnp.maximum(x_ref[0], x_ref[1])            # (C, Wt, N)
-        a = a.reshape(C, a.shape[1] // 2, 2, N)
-        o_ref[0] = jnp.max(a, axis=2)
-
-    wt = W
-    while 2 * (2 * C * wt * N) + C * (wt // 2) * N > (10 << 20) and wt > 8:
-        wt //= 2
+        io = pl.program_id(0)
+        jo = pl.program_id(1)
+        interior = ((io >= FH) & (io < Hpo - FH) & (jo >= bw) & (jo < kl - bw))
+        a = jnp.maximum(x_ref[0], x_ref[1])            # (C, 2·wt, N)
+        a = a.reshape(C, wt, 2, N)
+        o_ref[0] = jnp.where(interior, jnp.max(a, axis=2), 0)
 
     return pl.pallas_call(
         kernel,
-        grid=(H // 2, W // wt),
-        in_specs=[pl.BlockSpec((2, C, wt, N), lambda i, j: (i, 0, j, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, C, wt // 2, N), lambda i, j: (i, 0, j, 0),
+        grid=(Hpo, kl),
+        in_specs=[pl.BlockSpec(
+            (2, C, 2 * wt, N),
+            lambda io, jo: (jnp.clip(io - FH // 2, 0, Hp // 2 - 1), 0,
+                            jnp.clip(jo + FW // (2 * wt) - bw, 0, in_kl - 1), 0),
+            memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, C, wt, N), lambda io, jo: (io, 0, jo, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((H // 2, C, W // 2, N), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((Hpo, C, Wpo, N), jnp.int8),
         interpret=interpret,
     )(x)
 
@@ -295,24 +378,31 @@ def pack_wup(kernel_hwio):
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def qupsample2x2_requant(x, wup, a, bias, out_scale, interpret=None):
-    """int8 2×2 stride-2 transpose conv + symmetric requant (no ReLU —
-    reference graph applies none here, unet_model.py:38-48 / quant.py).
+    """int8 2×2 stride-2 transpose conv + symmetric requant (no ReLU — the
+    reference graph applies none here, unet_model.py:38-48 / quant.py) on
+    frames: (H+2FH, Cin, W+2FW, N) → (2H+2FH, Cout, 2W+2FW, N).
 
-    ``x``: (H, Cin, W, N) s8 → (2H, Cout, 2W, N) s8.
-    ``wup``: (2,2,Cout,Cin) from :func:`pack_wup`. ``a`` = s_in·w_scale.
     y[2h+dy, 2w+dx] = Σ_ci K[dy,dx,ci,co]·x[h,w,ci]  (non-overlapping taps).
     """
     if interpret is None:
         interpret = _interpret_default()
-    H, Cin, W, N = x.shape
+    Hp, Cin, Wp, N = x.shape
+    H, W = Hp - 2 * FH, Wp - 2 * FW
     Cout = wup.shape[2]
+    Hpo, Wpo = 2 * H + 2 * FH, 2 * W + 2 * FW
 
-    wt = W
-    while 2 * (Cin * wt * N) + 2 * (2 * Cout * 2 * wt * N) > (10 << 20) and wt > 8:
+    wt = max(c for c in (16, 8, 4, 2, 1) if W % c == 0)
+    while (Cin * wt * N) * 2 + 2 * 2 * Cout * 2 * wt * N > (10 << 20) and wt > 8:
         wt //= 2
+    kl = Wpo // (2 * wt)
+    bw_out = FW // (2 * wt)  # border tiles per side in out W blocks
 
     def kernel(x_ref, w_ref, a_ref, b_ref, os_ref, o_ref):
-        row = x_ref[0]                                  # (Cin, Wt, N)
+        ko = pl.program_id(0)
+        jo = pl.program_id(1)
+        interior = ((ko >= FH // 2) & (ko < (Hpo // 2) - FH // 2)
+                    & (jo >= bw_out) & (jo < kl - bw_out))
+        row = x_ref[0]                                  # (Cin, wt, N)
         inv_os = 127.0 / os_ref[0, 0]
         for dy in range(2):
             parts = []
@@ -321,93 +411,67 @@ def qupsample2x2_requant(x, wup, a, bias, out_scale, interpret=None):
                     w_ref[dy, dx], row,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
-                )                                       # (Cout, Wt, N)
+                )                                       # (Cout, wt, N)
                 y = acc.astype(jnp.float32) * a_ref[:].reshape(Cout, 1, 1)
                 y = y + b_ref[:].reshape(Cout, 1, 1)
                 parts.append(y)
-            inter = jnp.stack(parts, axis=2)            # (Cout, Wt, 2, N)
-            inter = inter.reshape(Cout, 2 * row.shape[1], N)
-            o_ref[dy] = jnp.clip(jnp.round(inter * inv_os), -127, 127
-                                 ).astype(jnp.int8)
+            inter = jnp.stack(parts, axis=2)            # (Cout, wt, 2, N)
+            inter = inter.reshape(Cout, 2 * wt, N)
+            q = jnp.clip(jnp.round(inter * inv_os), -127, 127)
+            o_ref[dy] = jnp.where(interior, q, 0.0).astype(jnp.int8)
 
     return pl.pallas_call(
         kernel,
-        grid=(H, W // wt),
+        grid=(Hpo // 2, kl),
         in_specs=[
-            pl.BlockSpec((1, Cin, wt, N), lambda i, j: (i, 0, j, 0),
+            pl.BlockSpec(
+                (1, Cin, wt, N),
+                lambda ko, jo: (jnp.clip(ko + FH // 2, 0, Hp - 1), 0,
+                                jnp.clip(jo + FW // wt - bw_out, 0,
+                                         Wp // wt - 1), 0),
+                memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 2, Cout, Cin), lambda ko, jo: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 2, Cout, Cin), lambda i, j: (0, 0, 0, 0),
+            pl.BlockSpec((Cout, 1), lambda ko, jo: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Cout, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0),
+            pl.BlockSpec((Cout, 1), lambda ko, jo: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda ko, jo: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((2, Cout, 2 * wt, N), lambda i, j: (i, 0, j, 0),
+        out_specs=pl.BlockSpec((2, Cout, 2 * wt, N),
+                               lambda ko, jo: (ko, 0, jo, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((2 * H, Cout, 2 * W, N), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((Hpo, Cout, Wpo, N), jnp.int8),
         interpret=interpret,
     )(x, wup, a.astype(jnp.float32).reshape(-1, 1),
       bias.astype(jnp.float32).reshape(-1, 1),
       jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
 
 
-# ------------------------------------------------------------ fused head
+# ------------------------------------------------------------ XLA head
 
 
-def _head_kernel_hcwn(x_ref, w_ref, rowmax_ref, colmax_ref):
-    """Row h: logits (3, W, N) = wᵀ(3,C) @ x(C, W, N); reduce to maxima."""
-    h = pl.program_id(0)
-    x = x_ref[0].astype(jnp.bfloat16)                   # (C, W, N)
-    logits = jax.lax.dot_general(
-        w_ref[:], x,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                   # (3, W, N)
-    rowmax_ref[0] = jnp.max(logits, axis=1)
+def head_rowcol_max_frame(xf, w, act_scale):
+    """Frame (H+2FH, C, W+2FW, N) s8 final activations → bias-free logit
+    row/col maxima via an XLA einsum (a Pallas head was measured
+    latency-bound — see module docstring).
 
-    @pl.when(h == 0)
-    def _():
-        colmax_ref[:] = logits
-
-    @pl.when(h > 0)
-    def _():
-        colmax_ref[:] = jnp.maximum(colmax_ref[:], logits)
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def head_rowcol_max_hcwn(x, w, act_scale, interpret=None):
-    """(H, C, W, N) s8 final activations → bias-free logit row/col maxima.
-
-    Same contract as ops.pallas_head.head_rowcol_max but for the Pallas
-    graph's native layout. Returns (row_max (N,H,3), col_max (N,W,3)) f32.
+    Returns (row_max (N, H, 3), col_max (N, W, 3)) f32.
     """
-    if interpret is None:
-        interpret = _interpret_default()
-    H, C, W, N = x.shape
-    wf = (w.astype(jnp.float32) * act_scale).astype(jnp.bfloat16).T  # (3, C)
-
-    rowmax, colmax = pl.pallas_call(
-        _head_kernel_hcwn,
-        grid=(H,),
-        in_specs=[
-            pl.BlockSpec((1, C, W, N), lambda h: (h, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, C), lambda h: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, 3, N), lambda h: (h, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, W, N), lambda h: (0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((H, 3, N), jnp.float32),
-            jax.ShapeDtypeStruct((3, W, N), jnp.float32),
-        ],
-        interpret=interpret,
-    )(x, wf)
+    x = from_frame(xf)                                  # (H, C, W, N)
+    # bf16 operands on TPU (int8 values are exact in bf16; weights round
+    # like the serving graph); the CPU backend's dot thunk can't mix
+    # bf16×bf16→f32, so tests compute in f32 after the same bf16 rounding
+    dot_t = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    wf = (w.astype(jnp.float32) * act_scale).astype(jnp.bfloat16)  # (C, 3)
+    logits = jnp.einsum(
+        "hcwn,ck->hkwn", x.astype(dot_t), wf.astype(dot_t),
+        preferred_element_type=jnp.float32,
+    )                                                   # (H, 3, W, N)
+    row_max = jnp.max(logits, axis=2)                   # (H, 3, N)
+    col_max = jnp.max(logits, axis=0)                   # (3, W, N)
     return (
-        jnp.transpose(rowmax, (2, 0, 1)),   # (N, H, 3)
-        jnp.transpose(colmax, (2, 1, 0)),   # (N, W, 3)
+        jnp.transpose(row_max, (2, 0, 1)),              # (N, H, 3)
+        jnp.transpose(col_max, (2, 1, 0)),              # (N, W, 3)
     )
