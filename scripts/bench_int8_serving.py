@@ -46,16 +46,19 @@ def main(batch=128, iters=10, width=64):
     sizes = jnp.asarray([[1920, 1080]] * batch, jnp.int32)
     calib = [np.asarray(imgs[:8])]
 
-    # int8-pallas (the full-Pallas trunk) is excluded: this toolchain's
-    # Mosaic rejects its halo windows (see infer/pipeline.py); the int8
-    # trunk is the XLA concat-form graph, A/B'd with both head choices.
-    for name, kw in (
+    variants = [
         ("bf16", dict(dtype=jnp.bfloat16)),
         ("int8+pallas-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
                                   int8_pallas=False)),
         ("int8+xla-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
                                int8_pallas=False, int8_head="xla")),
-    ):
+    ]
+    if "--pallas" in sys.argv:
+        # the frame-format Pallas trunk (ops/qconv_pallas)
+        variants.append(
+            ("int8-pallas-trunk", dict(dtype=jnp.bfloat16, int8_calib=calib,
+                                       int8_pallas=True)))
+    for name, kw in variants:
         try:
             seg = Segmenter(params, state, mcfg, icfg, **kw)
             dt = run(seg, imgs, sizes, iters)

@@ -21,14 +21,20 @@ import jax
 import jax.numpy as jnp
 
 
+def fetch_tiny(out):
+    """Force execution with a tiny host readback (the relay makes full
+    fetches dominate)."""
+    import jax.numpy as jnp
+
+    return np.asarray(jnp.ravel(out)[:2])
+
+
 def bench(name, fn, *args, iters=5):
     try:
-        out = fn(*args)
-        np.asarray(out).reshape(-1)[:1]
+        fetch_tiny(fn(*args))
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*args)
-            np.asarray(out).reshape(-1)[:1]
+            fetch_tiny(fn(*args))
         dt = (time.perf_counter() - t0) / iters
         print(f"{name}: {dt*1e3:8.2f} ms/iter", flush=True)
         return dt
