@@ -48,12 +48,17 @@ def main(H=512, N=128, iters=5):
 
     C = 64
     rng = np.random.default_rng(0)
-    x = QP.to_frame(jnp.asarray(
-        rng.integers(0, 80, (H, C, H, N)).astype(np.int8)))
-    x2 = QP.to_frame(jnp.asarray(
-        rng.integers(0, 80, (H, C, H, N)).astype(np.int8)))
-    k = rng.integers(-20, 21, (3, 3, C, C)).astype(np.int8)
-    k2 = rng.integers(-20, 21, (3, 3, C, C)).astype(np.int8)
+    # activations are generated ON DEVICE — shipping a 4.3 GB host array
+    # through this box's relay takes tens of minutes
+    keys = jax.random.split(jax.random.key(0), 2)
+    mk = jax.jit(lambda key: QP.to_frame(
+        jax.random.randint(key, (H, C, H, N), 0, 80).astype(jnp.int8)))
+    x = mk(keys[0])
+    x2 = mk(keys[1])
+    jax.block_until_ready(x2)
+    print("device inputs ready", flush=True)
+    k = rng.integers(-20, 21, (3, 3, C, C), dtype=np.int8)
+    k2 = rng.integers(-20, 21, (3, 3, C, C), dtype=np.int8)
     a = jnp.asarray(rng.uniform(1e-3, 2e-3, C), jnp.float32)
     b = jnp.asarray(rng.normal(0, 0.5, C), jnp.float32)
 
@@ -72,9 +77,10 @@ def main(H=512, N=128, iters=5):
     bench("maxpool 512²x64", lambda: QP.max_pool2_hcwn(x, interpret=False),
           iters=iters)
 
-    xs = QP.to_frame(jnp.asarray(
-        rng.integers(0, 80, (H // 2, C, H // 2, N)).astype(np.int8)))
-    wu = QP.pack_wup(rng.integers(-20, 21, (2, 2, C, C)).astype(np.int8))
+    xs = jax.jit(lambda key: QP.to_frame(
+        jax.random.randint(key, (H // 2, C, H // 2, N), 0, 80).astype(jnp.int8)
+    ))(keys[0])
+    wu = QP.pack_wup(rng.integers(-20, 21, (2, 2, C, C), dtype=np.int8))
     bench("upsample 256²x64→512²", lambda: QP.qupsample2x2_requant(
         xs, wu, a, b, 3.0, interpret=False), iters=iters)
 

@@ -128,7 +128,10 @@ def main():
             checkpoint_dir=f"/tmp/seg_ckpt_w{args.width}_g{args.grid}",
         ),
     )
-    resume_dir = cfg.train.checkpoint_dir if args.resume else None
+    # fit saves epoch snapshots under <checkpoint_dir>/latest; restore from it
+    resume_dir = (
+        os.path.join(cfg.train.checkpoint_dir, "latest") if args.resume else None
+    )
     state, history = trainer.fit(ds, cfg, resume_dir=resume_dir)
     save_params_npz(out, state.params, state.bn_state)
     print("saved", out, os.path.getsize(out) // 1024, "KB")

@@ -345,7 +345,9 @@ def max_pool2_hcwn(x, interpret=None):
         interior = ((io >= FH) & (io < Hpo - FH) & (jo >= bw) & (jo < kl - bw))
         a = jnp.maximum(x_ref[0], x_ref[1])            # (C, 2·wt, N)
         a = a.reshape(C, wt, 2, N)
-        o_ref[0] = jnp.where(interior, jnp.max(a, axis=2), 0)
+        # elementwise maximum, not a reduction — Mosaic has no int8 reduce
+        m = jnp.maximum(a[:, :, 0, :], a[:, :, 1, :])
+        o_ref[0] = jnp.where(interior, m, 0)
 
     return pl.pallas_call(
         kernel,
