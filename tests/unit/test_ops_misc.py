@@ -81,3 +81,17 @@ def test_native_qr_low_contrast():
     # illumination gradient
     grad = np.clip(img * np.linspace(0.3, 1.0, img.shape[1])[None, :], 0, 255).astype(np.uint8)
     assert payload in native.decode(grad)
+
+
+def test_pretrained_variant_registry():
+    """Every bundled variant loads into a Segmenter at its training grid."""
+    import pytest
+
+    from twinvoice_tpu.models import pretrained
+
+    for name, (fname, mcfg, grid) in pretrained.VARIANTS.items():
+        if not pretrained.available(name):
+            pytest.skip(f"bundled weights missing: {fname}")
+        seg = pretrained.load_pretrained_segmenter(variant=name)
+        assert seg.cfg.img_size == grid
+        assert seg.model_cfg.base_width == mcfg.base_width

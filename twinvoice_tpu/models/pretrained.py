@@ -1,12 +1,24 @@
 """Bundled pretrained models.
 
-``segmenter_synth_w16.npz`` is a base_width=16 U-Net trained in-repo on
-procedurally rendered invoices (scripts/train_synthetic_segmenter.py);
-val IoU 0.98/0.99/0.98 per field. The full-system eval (trained segmenter →
-crops → jaxocr recognizer → fusion, QR disabled) reads invoice number,
-date and amount at 100% on a fresh synthetic held-out set. Intended as the
-out-of-the-box demo model; production deployments train on real photos via
-the same trainer (or port the reference's .pth via twinvoice_tpu.port).
+Three in-repo segmenters trained by ``scripts/train_synthetic_segmenter.py``
+on procedurally rendered invoices with photographic augmentation; every
+quality number cited below is from the held-out perturbation gauntlet
+(``twinvoice_tpu.eval``: unseen content seeds + fonts, clean/mild/hard
+photographic tiers), NOT the training distribution:
+
+========================  ====== ===== ==========================================
+variant                   width  grid  gauntlet (IoU clean/mild/hard; box-hit)
+========================  ====== ===== ==========================================
+``w16`` (default)         16     512   0.95 / 0.95 / 0.92; box-hit 1.0 everywhere
+``w16_g384`` (streaming)  16     384   0.95 / 0.95 / 0.92; box-hit 1.0 everywhere
+``w64`` (reference arch)  64     512   0.88 / 0.88 / 0.79; box-hit 1.0/1.0/0.96
+========================  ====== ===== ==========================================
+
+``w16`` is the throughput flagship (1790 img/s/chip batch-128 bf16,
+docs/PERFORMANCE.md); ``w64`` is the reference's 31.04M-param architecture
+(unet_model.py:23-53) for drop-in parity work — production deployments can
+instead port the reference's own ``.pth`` via ``twinvoice_tpu.port``.
+Real-photo accuracy is unmeasured in this environment (docs/PARITY.md).
 """
 
 from __future__ import annotations
@@ -16,23 +28,43 @@ import os
 from twinvoice_tpu.config import InferConfig, UNetConfig
 
 WEIGHTS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "weights")
-SEGMENTER_SYNTH_W16 = os.path.join(WEIGHTS_DIR, "segmenter_synth_w16.npz")
-SEGMENTER_SYNTH_CFG = UNetConfig(base_width=16)
+
+VARIANTS = {
+    "w16": ("segmenter_synth_w16.npz", UNetConfig(base_width=16), 512),
+    "w16_g384": ("segmenter_synth_w16_g384.npz", UNetConfig(base_width=16), 384),
+    "w64": ("segmenter_synth_w64.npz", UNetConfig(base_width=64), 512),
+}
+
+# backward-compatible aliases (round-1 surface)
+SEGMENTER_SYNTH_W16 = os.path.join(WEIGHTS_DIR, VARIANTS["w16"][0])
+SEGMENTER_SYNTH_CFG = VARIANTS["w16"][1]
 
 
-def load_pretrained_segmenter(dtype=None, infer_cfg: InferConfig = InferConfig()):
-    """→ a ready infer.Segmenter on the bundled synthetic-trained weights."""
+def variant_path(variant: str) -> str:
+    return os.path.join(WEIGHTS_DIR, VARIANTS[variant][0])
+
+
+def load_pretrained_segmenter(dtype=None, infer_cfg: InferConfig = None,
+                              variant: str = "w16", **segmenter_kw):
+    """→ a ready infer.Segmenter on bundled trained weights.
+
+    ``infer_cfg`` defaults to the variant's training grid. Extra kwargs
+    (e.g. ``int8_calib``) pass through to :class:`~..infer.pipeline.Segmenter`.
+    """
     import jax.numpy as jnp
 
     from twinvoice_tpu.infer.pipeline import Segmenter
     from twinvoice_tpu.train.checkpoint import load_params_npz
 
-    params, state = load_params_npz(SEGMENTER_SYNTH_W16, SEGMENTER_SYNTH_CFG)
+    fname, mcfg, grid = VARIANTS[variant]
+    if infer_cfg is None:
+        infer_cfg = InferConfig(img_size=grid)
+    params, state = load_params_npz(variant_path(variant), mcfg)
     return Segmenter(
-        params, state, SEGMENTER_SYNTH_CFG, infer_cfg,
-        dtype=dtype or jnp.bfloat16,
+        params, state, mcfg, infer_cfg,
+        dtype=dtype or jnp.bfloat16, **segmenter_kw,
     )
 
 
-def available() -> bool:
-    return os.path.exists(SEGMENTER_SYNTH_W16)
+def available(variant: str = "w16") -> bool:
+    return os.path.exists(variant_path(variant))
