@@ -52,6 +52,8 @@ def main(batch=128, iters=10, width=64):
                                   int8_pallas=False)),
         ("int8+xla-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
                                int8_pallas=False, int8_head="xla")),
+        ("int8+xla-bf16-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
+                                    int8_pallas=False, int8_head="xla-bf16")),
     ]
     if "--pallas" in sys.argv:
         # the frame-format Pallas trunk (ops/qconv_pallas)

@@ -131,7 +131,12 @@ class Segmenter:
                 )(gboxes, valid, orig_sizes)
                 return None, boxes, ok
             if quantized:
-                logits = q_apply(folded, imgs_u8)
+                # bf16 logits on the box path when requested: halves the
+                # largest fusion's HBM traffic; masks keep f32 logits
+                ldt = (jnp.bfloat16
+                       if (int8_head == "xla-bf16" and not return_masks)
+                       else jnp.float32)
+                logits = q_apply(folded, imgs_u8, logits_dtype=ldt)
             else:
                 x = imgs_u8.astype(dtype) / jnp.asarray(255.0, dtype)
                 logits = unet_apply_folded(folded, x)
