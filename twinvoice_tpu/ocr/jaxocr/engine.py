@@ -103,24 +103,72 @@ class JaxOcrEngine:
     def read(self, image, mode: str = "text") -> OcrResult:
         return self.read_batch([image], modes=[mode])[0]
 
+    @staticmethod
+    def _split_lines(image):
+        """A U-Net field crop can cover several text lines (a loose box —
+        the tall-crop failure mode the e2e gauntlet surfaced); the CTC
+        recognizer is single-line, so split multi-line crops with the text
+        detector and read each line. Returns a list of line sub-crops
+        (top-to-bottom), or [whole crop] when ≤1 line is found."""
+        from twinvoice_tpu.ocr.jaxocr.detector import detect_lines
+
+        arr = np.asarray(image.convert("L") if hasattr(image, "convert") else image)
+        if arr.ndim == 3:
+            import cv2
+
+            arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
+        if arr.shape[0] < 2 * IMG_H:  # short crop: assuredly one line
+            return [arr]
+        boxes = detect_lines(arr)
+        if len(boxes) < 2:
+            return [arr]
+        return [arr[y1:y2, x1:x2] for (x1, y1, x2, y2) in boxes]
+
     def read_batch(self, images, modes=None) -> list:
-        """Batched variant: one device call for N crops (the fusion pipeline
-        reads 3 field crops per invoice — batching them cuts per-call
-        overhead 3×)."""
+        """Batched variant: one device call for the recognizer across all
+        crops AND all detected lines within multi-line crops (the fusion
+        pipeline reads 3 field crops per invoice)."""
         if not self.available():
             return [OcrResult("", self.name) for _ in images]
         import jax.numpy as jnp
 
-        prepared = [prepare_crop(im) if im is not None else None for im in images]
-        idx = [i for i, x in enumerate(prepared) if x is not None]
+        modes = modes or ["text"] * len(images)
+        # per image: the list of prepared line sub-crops
+        parts = []
+        for im in images:
+            if im is None:
+                parts.append([])
+                continue
+            prepped = [prepare_crop(ln) for ln in self._split_lines(im)]
+            parts.append([p for p in prepped if p is not None])
+
+        flat = [p for ps in parts for p in ps]
         out = [OcrResult("", self.name) for _ in images]
-        if not idx:
+        if not flat:
             return out
-        batch = np.stack([prepared[i] for i in idx])[..., None]
-        ids, conf = self._infer(self._params, self._state, jnp.asarray(batch))
-        ids = np.asarray(ids)
-        conf = np.asarray(conf)
-        for row, c, i in zip(ids, conf, idx):
-            text = self.charset.greedy_ctc_decode(row)
-            out[i] = OcrResult(text, self.name, confidence=float(c) if text else 0.0)
+        ids, conf = self._infer(
+            self._params, self._state, jnp.asarray(np.stack(flat)[..., None])
+        )
+        ids, conf = np.asarray(ids), np.asarray(conf)
+
+        k = 0
+        for i, ps in enumerate(parts):
+            texts, confs = [], []
+            for _ in ps:
+                t = self.charset.greedy_ctc_decode(ids[k])
+                if t:
+                    texts.append(t)
+                    confs.append(float(conf[k]))
+                k += 1
+            if not texts:
+                continue
+            if len(texts) > 1 and modes[i] == "amount":
+                # a joined multi-line read would concatenate digits from
+                # unrelated lines; keep the line with the most digits
+                digits = [sum(ch.isdigit() for ch in t) for t in texts]
+                j = max(range(len(texts)), key=lambda j: (digits[j], j))
+                out[i] = OcrResult(texts[j], self.name, confidence=confs[j])
+            else:
+                c = float(np.mean(confs))
+                out[i] = OcrResult(" ".join(texts), self.name, confidence=c)
         return out
