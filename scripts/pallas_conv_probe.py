@@ -68,6 +68,10 @@ def main(H=512, N=128, iters=5):
     bench("qconv 512²x64→64", lambda: QP.qconv3x3_requant(
         x, wp, a, b, 3.0, interpret=False), iters=iters)
 
+    wpd = QP.pack_w3x3(k)
+    bench("qconv DMA-pipelined", lambda: QP.qconv3x3_requant_dma(
+        x, wpd, a, b, 3.0, interpret=False), iters=iters)
+
     cc2 = QP._plan_tiles(H, C, H, N, C, two_inputs=True)[2]
     wp1 = QP.pack_w3x3(k, cc2)
     wp2 = QP.pack_w3x3(k2, cc2)

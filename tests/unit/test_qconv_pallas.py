@@ -168,3 +168,22 @@ def test_full_pallas_graph_matches_xla_int8_graph(rng):
     row, col = quant.unet_apply_quantized_pallas_rowcol_max(q, pq, imgs)
     np.testing.assert_allclose(np.asarray(row), row_ref, rtol=2e-2, atol=5e-2)
     np.testing.assert_allclose(np.asarray(col), col_ref, rtol=2e-2, atol=5e-2)
+
+
+def test_qconv_dma_matches_blocked(rng):
+    """The manually DMA-pipelined conv (perf-experiment kernel) must agree
+    bit-for-bit with the blocked frame kernel."""
+    n, hw, cin, cout = 2, 16, 8, 8
+    x = _rand_s8(rng, (n, hw, hw, cin))
+    k = _rand_s8(rng, (3, 3, cin, cout), -20, 21)
+    a = rng.uniform(1e-3, 2e-3, cout).astype(np.float32)
+    bias = rng.normal(0, 0.5, cout).astype(np.float32)
+    xf = _frame_nhwc(x)
+    cc = QP._plan_tiles(hw, cin, hw, n, cout)[2]
+    ref = QP.qconv3x3_requant(xf, QP.pack_w3x3(k, cc), jnp.asarray(a),
+                              jnp.asarray(bias), 3.7, interpret=True)
+    for kw in ({}, {"mxu_bf16": True}):
+        got = QP.qconv3x3_requant_dma(xf, QP.pack_w3x3(k), jnp.asarray(a),
+                                      jnp.asarray(bias), 3.7, interpret=True,
+                                      **kw)
+        np.testing.assert_array_equal(_unframe_nhwc(got), _unframe_nhwc(ref))

@@ -316,6 +316,140 @@ def qconv3x3_split_requant(x, x2, wpack, wpack2, a, bias, out_scale, *,
       jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
 
 
+# ---------------------------------------- conv3x3, manually pipelined DMA
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("relu", "interpret", "tiles", "mxu_bf16"))
+def qconv3x3_requant_dma(x, wpack, a, bias, out_scale, *, relu=True,
+                         interpret=None, tiles=None, mxu_bf16=False):
+    """Like :func:`qconv3x3_requant` but with HAND-PIPELINED input DMAs.
+
+    The blocked/Element auto-pipeline was measured NOT to double-buffer
+    Element-window inputs (~20 µs of DMA latency per tile — 4× behind
+    XLA's conv emitter at the flagship shape, docs/PERFORMANCE.md). Here
+    the input stays in HBM (`memory_space=ANY`) and the kernel itself
+    streams halo windows into a 2-slot VMEM scratch with
+    ``pltpu.make_async_copy``, starting tile t+1's copy before computing
+    tile t — the guide's double-buffering pattern. Single Cin chunk only
+    (Cin ≤ 128 — the full-res layers where the flops are; deeper layers
+    use the blocked kernel).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    Hp, Cin, Wp, N = x.shape
+    H, W = Hp - 2 * FH, Wp - 2 * FW
+    Cout = wpack.shape[2]
+    assert wpack.shape[0] == 1, "single-Cin-chunk kernel"
+    if tiles is None:
+        # budget well under the 16 MB VMEM: the kernel's f32 epilogue
+        # temporaries roughly double the accounted footprint (measured:
+        # a 13 MB plan stack-allocated 25.4 MB)
+        for wt in (128, 64, 32, 16, 8, 4, 2, 1):
+            if W % wt == 0:
+                hs = 1
+                if (2 * (hs + 2) * Cin * (wt + 16) * N          # 2 slots
+                        + hs * Cout * wt * N * 4                 # acc
+                        + 2 * hs * Cout * wt * N) <= (6 << 20):  # out x2
+                    break
+        tiles = (hs, wt)
+    Hs, Wt = tiles
+    kh, kl = H // Hs, W // Wt
+    T = kh * kl
+    bh, bw = 0, 0  # interior-only grid: outputs cover only interior tiles
+
+    def kernel(x_hbm, w_ref, a_ref, b_ref, os_ref, o_ref, xbuf, acc, sem):
+        t = pl.program_id(0)
+
+        def dma(tt, slot):
+            # interior tile (k, l): output covers interior rows/cols
+            # [k·Hs, ·+Hs) × [l·Wt, ·+Wt) = frame offset (+FH, +FW); the
+            # halo window starts one row above and PW-1=7 cols left of the
+            # first tap so the tap math matches the blocked kernels
+            k = tt // kl
+            l = tt % kl
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(k * Hs + FH - 1, Hs + 2), :,
+                         pl.ds(l * Wt + FW - 8, Wt + 16), :],
+                xbuf.at[slot],
+                sem.at[slot],
+            )
+
+        @pl.when(t == 0)
+        def _():
+            dma(t, 0).start()
+
+        @pl.when(t + 1 < T)
+        def _():
+            dma(t + 1, (t + 1) % 2).start()
+
+        dma(t, t % 2).wait()
+        xw = xbuf[t % 2]                                  # (Hs+2, Cin, Wt+16, N)
+
+        inv_os = 127.0 / os_ref[0, 0]
+        for r in range(Hs):
+            k3 = xw[r : r + 3].reshape(3 * Cin, Wt + 16, N)
+            acc[:] = jnp.zeros_like(acc)
+            if mxu_bf16:
+                # bf16 MXU with f32 accumulation — still bit-exact: int8
+                # values are exact in bf16 and every partial sum stays
+                # below 2^24 (127·127·(9·Cin) for Cin ≤ 1024)
+                wr = w_ref[0].astype(jnp.bfloat16)
+                for dx in range(3):
+                    acc[:] += jax.lax.dot_general(
+                        wr[dx],
+                        k3[:, dx + 7 : dx + 7 + Wt, :].astype(jnp.bfloat16),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+            else:
+                for dx in range(3):
+                    acc[:] += jax.lax.dot_general(
+                        w_ref[0, dx], k3[:, dx + 7 : dx + 7 + Wt, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+            y = acc[:].astype(jnp.float32) * a_ref[:].reshape(Cout, 1, 1)
+            y = y + b_ref[:].reshape(Cout, 1, 1)
+            if relu:
+                y = jnp.maximum(y, 0.0)
+                o_ref[r] = jnp.clip(jnp.round(y * inv_os), 0, 127
+                                    ).astype(jnp.int8)
+            else:
+                o_ref[r] = jnp.clip(jnp.round(y * inv_os), -127, 127
+                                    ).astype(jnp.int8)
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((1, 3, Cout, 3 * Cin), lambda t: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cout, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda t: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        # UNPADDED blocked output (Element-indexed output windows trip this
+        # Mosaic's window prover); callers re-frame with to_frame — a thin
+        # copy next to the conv itself
+        out_specs=pl.BlockSpec(
+            (Hs, Cout, Wt, N), lambda t: (t // kl, 0, t % kl, 0),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((H, Cout, W, N), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, Hs + 2, Cin, Wt + 16, N), jnp.int8),
+            pltpu.VMEM((Cout, Wt, N),
+                       jnp.float32 if mxu_bf16 else jnp.int32),  # per row
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, wpack, a.astype(jnp.float32).reshape(-1, 1),
+      bias.astype(jnp.float32).reshape(-1, 1),
+      jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
+    return to_frame(out)
+
+
 # ----------------------------------------------------------------- maxpool
 
 
