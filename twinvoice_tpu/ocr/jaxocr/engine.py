@@ -120,9 +120,29 @@ class JaxOcrEngine:
         if arr.shape[0] < 2 * IMG_H:  # short crop: assuredly one line
             return [arr]
         boxes = detect_lines(arr)
-        if len(boxes) < 2:
+        if len(boxes) >= 2:
+            return [arr[y1:y2, x1:x2] for (x1, y1, x2, y2) in boxes]
+        # detector found one blob (blur merges lines) — fall back to the
+        # horizontal ink-projection profile: split at low-ink valleys
+        import cv2
+
+        _, binary = cv2.threshold(arr, 0, 255,
+                                  cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+        ink = (binary == 0).mean(axis=1)
+        quiet = ink < max(0.02, 0.15 * float(ink.max()))
+        bands, start = [], None
+        for y, q in enumerate(quiet):
+            if not q and start is None:
+                start = y
+            elif q and start is not None:
+                if y - start >= 8:
+                    bands.append((max(0, start - 2), min(arr.shape[0], y + 2)))
+                start = None
+        if start is not None and arr.shape[0] - start >= 8:
+            bands.append((max(0, start - 2), arr.shape[0]))
+        if len(bands) < 2:
             return [arr]
-        return [arr[y1:y2, x1:x2] for (x1, y1, x2, y2) in boxes]
+        return [arr[y0:y1] for (y0, y1) in bands]
 
     def read_batch(self, images, modes=None) -> list:
         """Batched variant: one device call for the recognizer across all
