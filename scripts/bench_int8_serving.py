@@ -49,7 +49,7 @@ def main(batch=128, iters=10, width=64):
     variants = [
         ("bf16", dict(dtype=jnp.bfloat16)),
         ("int8+pallas-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
-                                  int8_pallas=False)),
+                                  int8_pallas=False, int8_head="pallas")),
         ("int8+xla-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
                                int8_pallas=False, int8_head="xla")),
         ("int8+xla-bf16-head", dict(dtype=jnp.bfloat16, int8_calib=calib,

@@ -187,3 +187,42 @@ def test_prepare_crop_polarity_and_contrast():
         # normalized variants should closely match the clean preparation
         assert np.mean(np.abs(variant - base)) < 0.12
         assert variant.min() < 0.3 and variant.max() > 0.8  # full range, dark ink
+
+
+def test_band_grouping_one_line_of_words_is_one_band():
+    from twinvoice_tpu.ocr.jaxocr.engine import _group_into_bands
+
+    # three word boxes on one line (y-overlapping), one on a second line
+    one_line = [(5, 10, 60, 40), (70, 12, 120, 42), (130, 9, 200, 38)]
+    assert len(_group_into_bands(one_line)) == 1
+    two_lines = one_line + [(5, 60, 200, 90)]
+    bands = _group_into_bands(two_lines)
+    assert len(bands) == 2
+    assert bands[0][1] < bands[1][1]  # top-to-bottom
+    assert bands[0] == (5, 9, 200, 42)  # merged extents
+
+
+def test_split_lines_tall_single_line_not_split():
+    """ADVICE r2: a single-line crop taller than 2*IMG_H (high-res photo)
+    must come back whole — widely spaced words must not be split into
+    separate reads that get re-ordered."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    font = ImageFont.truetype(
+        "/usr/share/fonts/truetype/dejavu/DejaVuSansMono.ttf", 64
+    )
+    img = Image.new("L", (900, 110), 255)
+    ImageDraw.Draw(img).text((10, 15), "AB 1234 5678", fill=0, font=font)
+    parts = JaxOcrEngine._split_lines(img)
+    assert len(parts) == 1
+    assert parts[0].shape == (110, 900)
+
+    # and a genuinely two-line tall crop still splits
+    img2 = Image.new("L", (900, 220), 255)
+    d = ImageDraw.Draw(img2)
+    d.text((10, 10), "AB-12345678", fill=0, font=font)
+    d.text((10, 120), "2024/03/15", fill=0, font=font)
+    parts2 = JaxOcrEngine._split_lines(img2)
+    assert len(parts2) == 2

@@ -38,6 +38,35 @@ def test_head_rowcol_max_matches_dense_conv(rng):
     np.testing.assert_allclose(np.asarray(col), col_ref, rtol=2e-2, atol=2e-2)
 
 
+def test_head_rowcol_max_mosaic_semantics_multitile(rng):
+    """Run the kernel under the MOSAIC interpreter (pltpu.InterpretParams),
+    which models TPU grid/double-buffer semantics and rejects illegal output-
+    block revisiting — the generic interpreter keeps the whole array live and
+    cannot catch it. Regression for ADVICE r2 (high): the old formulation
+    revisited the per-j colmax block across the outer grid dim h, so on real
+    TPU col_max contained stale tiles. W=256 → four 64-col tiles, so the
+    colmax accumulation actually crosses tiles here.
+
+    f32 compute: the CPU dot thunk can't do bf16×bf16→f32 (known box limit);
+    the grid semantics under test are dtype-independent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from twinvoice_tpu.ops.pallas_head import _head_rowcol_max
+
+    b, hh, ww, c = 8, 16, 256, 32
+    h_s8 = rng.integers(-127, 128, (b, hh, ww, c), dtype=np.int8)
+    w = rng.normal(0, 0.2, (c, 3)).astype(np.float32)
+    scale = np.float32(0.037)
+
+    row_ref, col_ref = _reference(h_s8, w, scale)
+    row, col = _head_rowcol_max(
+        jnp.asarray(h_s8), jnp.asarray(w), scale,
+        interpret=pltpu.InterpretParams(), compute_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(np.asarray(row), row_ref, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(col), col_ref, rtol=1e-4, atol=1e-4)
+
+
 def test_bbox_from_rowcol_max_matches_bbox_from_logits_fast(rng):
     """Box combination logic ⟷ the per-image reference, on exact f32 maxima."""
     b, hh, ww, c = 4, 32, 48, 3

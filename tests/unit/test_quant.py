@@ -73,8 +73,10 @@ def test_segmenter_int8_mode(small_model):
 
 
 def test_segmenter_int8_box_path_matches_logits_path(small_model):
-    """return_masks=False routes through the Pallas fused head
-    (ops/pallas_head); its boxes must match the logits-path boxes."""
+    """With int8_head="pallas", return_masks=False routes through the Pallas
+    fused head (ops/pallas_head, interpret mode on CPU); its boxes — incl.
+    the bias-folded threshold plumbing at pipeline.py — must match the
+    logits-path boxes."""
     from twinvoice_tpu.config import InferConfig
     from twinvoice_tpu.infer.pipeline import Segmenter
 
@@ -86,7 +88,7 @@ def test_segmenter_int8_box_path_matches_logits_path(small_model):
     rng = np.random.default_rng(7)
     calib = [rng.integers(0, 255, (2, 64, 64, 3), dtype=np.uint8)]
     seg = Segmenter(params, state, cfg, InferConfig(img_size=64),
-                    dtype=jnp.bfloat16, int8_calib=calib)
+                    dtype=jnp.bfloat16, int8_calib=calib, int8_head="pallas")
     imgs = rng.integers(0, 255, (3, 64, 64, 3), dtype=np.uint8)
     sizes = np.asarray([[640, 480]] * 3, np.int32)
 

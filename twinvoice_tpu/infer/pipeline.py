@@ -49,9 +49,12 @@ class Segmenter:
         forward to the int8 MXU path (infer/quant.py) — weights quantized
         per-channel, activation scales calibrated from these batches. The
         fp32/bf16 folded params are still built (parity surface).
-        ``int8_pallas``: route the box-only path through the full-Pallas
-        int8 forward (ops/qconv_pallas); None = auto (currently off — see
-        the Mosaic note below). ``int8_head``: "xla" (default — measured
+        ``int8_pallas``: route the box-only (``return_masks=False``) path
+        through the full-Pallas int8 forward (ops/qconv_pallas) regardless
+        of ``int8_head``; None = auto (currently off — measured slower, see
+        the note below). Prepacking assumes the serving batch of 128; other
+        batch sizes trip the kernels' tile asserts. ``int8_head``: "xla"
+        (default — measured
         faster at batch 128: XLA fuses the 1×1 out-conv into the row/col
         max-reductions well, while the Pallas head's M=3 micro-GEMMs are
         latency-bound) or "pallas" (ops/pallas_head fused head)."""
@@ -72,11 +75,11 @@ class Segmenter:
             folded32 = fold_unet(params, state, cfg=model_cfg)
             self.qparams = quantize_unet(folded32, int8_calib)
             self._q_apply = unet_apply_quantized
-            # The full-Pallas int8 trunk (ops/qconv_pallas) is correct in
-            # interpret mode but this toolchain's Mosaic rejects its halo
-            # windows ("Low padding not supported yet"), so it stays opt-in
-            # until the kernels are reformulated; the serving default is the
-            # XLA int8 trunk (concat-form decoder) + the Pallas fused head.
+            # The full-Pallas int8 trunk (ops/qconv_pallas, frame-format
+            # kernels) lowers on TPU but measured ~4× behind XLA
+            # (docs/PERFORMANCE.md post-mortem), so it stays opt-in; the
+            # serving default is the XLA int8 trunk (concat-form decoder)
+            # with the XLA head (int8_head="xla", measured fastest at b128).
             if int8_pallas is None:
                 int8_pallas = False
             if int8_pallas:
@@ -102,7 +105,8 @@ class Segmenter:
             When quantized, ``folded`` is {"q": qparams[, "pq": packed]}."""
             if quantized:
                 folded, pq = folded["q"], folded.get("pq")
-            if quantized and not return_masks and use_pallas_head:
+            if quantized and not return_masks and (use_pallas_head
+                                                   or use_pallas_trunk):
                 # box-only throughput path: fused head — the 1×1 out-conv
                 # and the row/col max-reductions run in one Pallas kernel
                 # and the (B,S,S,3) logits tensor is never materialized.

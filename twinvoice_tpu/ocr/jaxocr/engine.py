@@ -61,6 +61,31 @@ def prepare_crop(image) -> Optional[np.ndarray]:
     return out / 255.0
 
 
+def _group_into_bands(boxes):
+    """Group detector boxes into vertical bands of y-overlapping boxes.
+
+    Boxes whose vertical extents overlap by >50% of the smaller height are
+    the same text line (words of one line); bands are returned top-to-bottom
+    as merged (x1, y1, x2, y2) extents."""
+    if not boxes:
+        return []
+    bands = []  # each: [x1, y1, x2, y2]
+    for (x1, y1, x2, y2) in sorted(boxes, key=lambda b: b[1]):
+        placed = False
+        for band in bands:
+            overlap = min(y2, band[3]) - max(y1, band[1])
+            if overlap > 0.5 * min(y2 - y1, band[3] - band[1]):
+                band[0] = min(band[0], x1)
+                band[1] = min(band[1], y1)
+                band[2] = max(band[2], x2)
+                band[3] = max(band[3], y2)
+                placed = True
+                break
+        if not placed:
+            bands.append([x1, y1, x2, y2])
+    return [tuple(b) for b in sorted(bands, key=lambda b: b[1])]
+
+
 class JaxOcrEngine:
     name = "jaxocr"
 
@@ -109,7 +134,14 @@ class JaxOcrEngine:
         the tall-crop failure mode the e2e gauntlet surfaced); the CTC
         recognizer is single-line, so split multi-line crops with the text
         detector and read each line. Returns a list of line sub-crops
-        (top-to-bottom), or [whole crop] when ≤1 line is found."""
+        (top-to-bottom), or [whole crop] when ≤1 line is found.
+
+        Detected boxes are grouped into vertical BANDS by y-overlap before
+        deciding to split (ADVICE r2): on a high-resolution photo a single
+        text line is routinely taller than the old 2*IMG_H gate, and its
+        widely spaced words come back as separate detector boxes — splitting
+        those and rejoining permutes/truncates the read. One band ⟹ one
+        line ⟹ no split, regardless of pixel height."""
         from twinvoice_tpu.ocr.jaxocr.detector import detect_lines
 
         arr = np.asarray(image.convert("L") if hasattr(image, "convert") else image)
@@ -120,10 +152,13 @@ class JaxOcrEngine:
         if arr.shape[0] < 2 * IMG_H:  # short crop: assuredly one line
             return [arr]
         boxes = detect_lines(arr)
-        if len(boxes) >= 2:
-            return [arr[y1:y2, x1:x2] for (x1, y1, x2, y2) in boxes]
-        # detector found one blob (blur merges lines) — fall back to the
-        # horizontal ink-projection profile: split at low-ink valleys
+        bands = _group_into_bands(boxes)
+        if len(bands) >= 2:
+            return [arr[y1:y2, x1:x2] for (x1, y1, x2, y2) in bands]
+        # ≤1 band (blur can merge two lines into one detector blob) — fall
+        # back to the horizontal ink-projection profile: split at low-ink
+        # valleys. A genuinely single tall line has no interior quiet rows,
+        # so it comes back as one band → whole crop.
         import cv2
 
         _, binary = cv2.threshold(arr, 0, 255,
@@ -153,16 +188,23 @@ class JaxOcrEngine:
         import jax.numpy as jnp
 
         modes = modes or ["text"] * len(images)
-        # per image: the list of prepared line sub-crops
-        parts = []
+        # per image: the list of prepared line sub-crops; for split crops
+        # the prepared WHOLE crop rides along as one extra batch row so the
+        # split read can be rejected when the unsplit read is more confident
+        # (ADVICE r2: a wrongly split single line reads worse than the whole)
+        parts, wholes = [], []
         for im in images:
             if im is None:
                 parts.append([])
+                wholes.append(None)
                 continue
-            prepped = [prepare_crop(ln) for ln in self._split_lines(im)]
+            lines = self._split_lines(im)
+            prepped = [prepare_crop(ln) for ln in lines]
             parts.append([p for p in prepped if p is not None])
+            wholes.append(prepare_crop(im) if len(lines) > 1 else None)
 
         flat = [p for ps in parts for p in ps]
+        flat += [w for w in wholes if w is not None]
         out = [OcrResult("", self.name) for _ in images]
         if not flat:
             return out
@@ -191,4 +233,13 @@ class JaxOcrEngine:
             else:
                 c = float(np.mean(confs))
                 out[i] = OcrResult(" ".join(texts), self.name, confidence=c)
+        # whole-crop fallback rows (appended after all split parts)
+        for i, w in enumerate(wholes):
+            if w is None:
+                continue
+            t = self.charset.greedy_ctc_decode(ids[k])
+            c = float(conf[k])
+            k += 1
+            if t and c > (out[i].confidence or 0.0):
+                out[i] = OcrResult(t, self.name, confidence=c)
         return out

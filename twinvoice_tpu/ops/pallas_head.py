@@ -37,15 +37,22 @@ def _head_kernel(x_ref, w_ref, rowmax_ref, colmax_ref):
 
     x_ref:      (1, Wt, C, B) int8 — column tile of an activations row
     w_ref:      (C, 3) bf16 — out-conv weight with the activation scale folded
-    rowmax_ref: (1, 3, B) f32 — running max over column tiles (revisited per j)
-    colmax_ref: (3, Wt, B) f32 — running max over rows (revisited per h)
+    rowmax_ref: (1, 3, B) f32 — running max over column tiles (revisited per j,
+                the INNERMOST grid dim, so revisits are consecutive — legal)
+    colmax_ref: (3, W, B) f32 — FULL-array accumulator block (constant index
+                map ⇒ one VMEM buffer resident across the whole grid). The
+                previous formulation used a per-j block revisited across the
+                outer dim h; Mosaic double-buffers non-consecutively-revisited
+                output blocks, so other column tiles' stale contents leaked in
+                (ADVICE r2 high). ~0.8 MB at W=512, B=128 — cheap to keep live.
 
-    W is tiled because a full 512-col row at batch 128 blows the kernel's
-    VMEM stack (~80 MB measured); per-tile intermediates stay a few MB.
+    W is tiled because a full 512-col row of bf16 activations at batch 128
+    blows the kernel's VMEM stack (~80 MB measured); per-tile intermediates
+    stay a few MB.
     """
     h = pl.program_id(0)
     j = pl.program_id(1)
-    x = x_ref[0].astype(jnp.bfloat16)          # (Wt, C, B)
+    x = x_ref[0].astype(w_ref.dtype)           # (Wt, C, B)
     w = w_ref[:]                               # (C, 3)
     # (3, C) @ (Wt, C, B) contracting C -> (3, Wt, B); bias is added by the
     # caller to the thresholds instead (max(x)+b > t  ⟺  max(x) > t-b).
@@ -64,17 +71,21 @@ def _head_kernel(x_ref, w_ref, rowmax_ref, colmax_ref):
     def _():
         rowmax_ref[0] = jnp.maximum(rowmax_ref[0], tile_max)
 
+    wt = logits.shape[1]
+    cols = pl.dslice(j * wt, wt)
+
     @pl.when(h == 0)
     def _():
-        colmax_ref[:] = logits
+        colmax_ref[:, cols, :] = logits
 
     @pl.when(h > 0)
     def _():
-        colmax_ref[:] = jnp.maximum(colmax_ref[:], logits)
+        colmax_ref[:, cols, :] = jnp.maximum(colmax_ref[:, cols, :], logits)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def _head_rowcol_max(h_nhwc_s8, w, act_scale, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "compute_dtype"))
+def _head_rowcol_max(h_nhwc_s8, w, act_scale, interpret=False,
+                     compute_dtype=jnp.bfloat16):
     """Fused out-conv + bbox reductions for the int8 serving path.
 
     ``h_nhwc_s8``: (B, H, W, C) int8 final decoder activations.
@@ -87,7 +98,7 @@ def _head_rowcol_max(h_nhwc_s8, w, act_scale, interpret=False):
     """
     b, hh, ww, c = h_nhwc_s8.shape
     x = jnp.transpose(h_nhwc_s8, (1, 2, 3, 0))  # (H, W, C, B) — bitcast on TPU
-    wf = (w.astype(jnp.float32) * act_scale).astype(jnp.bfloat16)
+    wf = (w.astype(jnp.float32) * act_scale).astype(compute_dtype)
 
     wt = ww
     while wt > 64 and wt % 2 == 0:
@@ -104,7 +115,7 @@ def _head_rowcol_max(h_nhwc_s8, w, act_scale, interpret=False):
         out_specs=[
             pl.BlockSpec((1, 3, b), lambda h, j: (h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, wt, b), lambda h, j: (0, j, 0),
+            pl.BlockSpec((3, ww, b), lambda h, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
