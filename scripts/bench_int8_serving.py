@@ -49,11 +49,16 @@ def main(batch=128, iters=10, width=64):
     variants = [
         ("bf16", dict(dtype=jnp.bfloat16)),
         ("int8+pallas-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
-                                  int8_pallas=False, int8_head="pallas")),
+                                  int8_pallas=False, int8_head="pallas",
+                                  int8_wpack=False)),
         ("int8+xla-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
-                               int8_pallas=False, int8_head="xla")),
+                               int8_pallas=False, int8_head="xla",
+                               int8_wpack=False)),
         ("int8+xla-bf16-head", dict(dtype=jnp.bfloat16, int8_calib=calib,
-                                    int8_pallas=False, int8_head="xla-bf16")),
+                                    int8_pallas=False, int8_head="xla-bf16",
+                                    int8_wpack=False)),
+        ("int8+wpack", dict(dtype=jnp.bfloat16, int8_calib=calib,
+                            int8_pallas=False, int8_wpack=True)),
     ]
     if "--pallas" in sys.argv:
         # the frame-format Pallas trunk (ops/qconv_pallas)

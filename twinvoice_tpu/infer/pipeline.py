@@ -44,6 +44,7 @@ class Segmenter:
         int8_calib=None,
         int8_pallas=None,
         int8_head="xla",
+        int8_wpack=True,
     ):
         """``int8_calib``: an iterable of uint8 (B,H,W,3) batches switches the
         forward to the int8 MXU path (infer/quant.py) — weights quantized
@@ -53,7 +54,11 @@ class Segmenter:
         through the full-Pallas int8 forward (ops/qconv_pallas) regardless
         of ``int8_head``; None = auto (currently off — measured slower, see
         the note below). Prepacking assumes the serving batch of 128; other
-        batch sizes trip the kernels' tile asserts. ``int8_head``: "xla"
+        batch sizes trip the kernels' tile asserts. ``int8_wpack``
+        (default True): run the full-resolution stages W-phase-packed
+        (infer/wpack — two output columns per 128-lane channel group;
+        bit-exact vs the concat graph) — the half-lane Cout fix the r2
+        trace called for. ``int8_head``: "xla"
         (default — measured
         faster at batch 128: XLA fuses the 1×1 out-conv into the row/col
         max-reductions well, while the Pallas head's M=3 micro-GEMMs are
@@ -98,6 +103,7 @@ class Segmenter:
         quantized = self.qparams is not None
         use_pallas_trunk = self.pallas_params is not None
         use_pallas_head = int8_head == "pallas"
+        use_wpack = bool(int8_wpack) and quantized
 
         @partial(jax.jit, static_argnames=("return_masks",))
         def _run(folded, imgs_u8, orig_sizes, return_masks=True):
@@ -134,13 +140,42 @@ class Segmenter:
                     )
                 )(gboxes, valid, orig_sizes)
                 return None, boxes, ok
+            if quantized and not return_masks and use_wpack:
+                # box-only path on the W-phase-packed trunk (infer/wpack):
+                # full-lane convs at full res, packed 1×1 head, packed
+                # row/col max-reductions — logits never unpacked.
+                from twinvoice_tpu.infer.wpack import (
+                    unet_apply_quantized_wpack_rowcol_max,
+                )
+                from twinvoice_tpu.ops.pallas_head import bbox_from_rowcol_max
+
+                row_max, col_max = unet_apply_quantized_wpack_rowcol_max(
+                    folded, imgs_u8
+                )
+                thr_eff = logit_thr - folded["out"]["bias"].astype(jnp.float32)
+                gboxes, valid = bbox_from_rowcol_max(row_max, col_max, thr_eff)
+                boxes, ok = jax.vmap(
+                    lambda gb, v, osz: scale_and_pad_boxes(
+                        gb, v, osz, size, cfg.pad_frac
+                    )
+                )(gboxes, valid, orig_sizes)
+                return None, boxes, ok
             if quantized:
                 # bf16 logits on the box path when requested: halves the
                 # largest fusion's HBM traffic; masks keep f32 logits
                 ldt = (jnp.bfloat16
                        if (int8_head == "xla-bf16" and not return_masks)
                        else jnp.float32)
-                logits = q_apply(folded, imgs_u8, logits_dtype=ldt)
+                if use_wpack:
+                    from twinvoice_tpu.infer.wpack import (
+                        unet_apply_quantized_wpack,
+                    )
+
+                    logits = unet_apply_quantized_wpack(
+                        folded, imgs_u8, logits_dtype=ldt
+                    )
+                else:
+                    logits = q_apply(folded, imgs_u8, logits_dtype=ldt)
             else:
                 x = imgs_u8.astype(dtype) / jnp.asarray(255.0, dtype)
                 logits = unet_apply_folded(folded, x)
@@ -167,9 +202,15 @@ class Segmenter:
                 folded = folded["q"]
             x = resize_bilinear(raw_u8.astype(jnp.float32), size, size)
             if quantized:
-                logits = q_apply(
-                    folded, jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
-                )
+                xq8 = jnp.clip(jnp.round(x), 0, 255).astype(jnp.uint8)
+                if use_wpack:
+                    from twinvoice_tpu.infer.wpack import (
+                        unet_apply_quantized_wpack,
+                    )
+
+                    logits = unet_apply_quantized_wpack(folded, xq8)
+                else:
+                    logits = q_apply(folded, xq8)
             else:
                 x = (x / 255.0).astype(dtype)
                 logits = unet_apply_folded(folded, x)
