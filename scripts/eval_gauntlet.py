@@ -27,6 +27,9 @@ WEIGHTS_DIR = os.path.join(
 LEVEL_SETS = [
     ("clean", False), ("mild", False), ("hard", False),
     ("clean", True), ("mild", True),
+    # real-photo scenario tiers (eval/gauntlet.SCENARIOS)
+    ("printscan", False), ("screenshot", False),
+    ("crumple", False), ("thermal", False),
 ]
 
 

@@ -104,6 +104,9 @@ class FusionConfig:
     auto_rotate: bool = True             # revived dead feature (app_camera.py:655)
     full_page_fallback: bool = True      # detector+recognizer full-page scan
     # when field crops yield nothing (EasyOCR readtext analogue, :817-833)
+    host_workers: int = 4                # extract_batch: QR scans run in a
+    # thread pool overlapped with the segmenter's device call (the native
+    # decoder + PIL release the GIL); ~80% of r2 bulk wall was this host work
 
 
 @dataclass(frozen=True)

@@ -47,6 +47,12 @@ class PerturbSpec:
     vignette: float = 0.0             # 0..1
     background: bool = False          # paste onto procedural clutter
     bg_seed: int = 0
+    # real-photo degradation family (VERDICT r2 #4):
+    halftone: float = 0.0             # print-and-scan AM dot screen, 0..1
+    halftone_cell: float = 3.0        # dot pitch in px
+    screen_moire: float = 0.0         # screen-recapture subpixel gratings, 0..1
+    crumple: float = 0.0              # fold/crumple illumination field, 0..1
+    thermal_fade: float = 0.0         # thermal-paper ink fade, 0..1
 
 
 def sample_spec(rng: np.random.Generator, severity: float = MILD) -> PerturbSpec:
@@ -93,6 +99,16 @@ def sample_spec(rng: np.random.Generator, severity: float = MILD) -> PerturbSpec
     if on(0.45 * s):
         spec.background = True
         spec.bg_seed = int(rng.integers(0, 2**31))
+    # real-photo degradations: rarer, mutually light (each alone is hard)
+    if on(0.15 * s):
+        spec.halftone = float(rng.uniform(0.35, 0.85) * s)
+        spec.halftone_cell = float(rng.uniform(2.2, 4.5))
+    elif on(0.15 * s):
+        spec.screen_moire = float(rng.uniform(0.25, 0.6) * s)
+    if on(0.20 * s):
+        spec.crumple = float(rng.uniform(0.3, 0.8) * s)
+    if on(0.12 * s):
+        spec.thermal_fade = float(rng.uniform(0.3, 0.8) * s)
     return spec
 
 
@@ -192,11 +208,45 @@ def _apply_geometry(img, mask, spec, rng):
 # --------------------------------------------------------------- photometric
 
 
+def _blob_field(h, w, rng, cells=(6, 8)):
+    """Smooth random field in [-1, 1] (paper buckle / fade blotches)."""
+    import cv2
+
+    g = rng.uniform(-1, 1, cells).astype(np.float32)
+    return cv2.resize(g, (w, h), interpolation=cv2.INTER_CUBIC)
+
+
 def _apply_photometric(img: np.ndarray, spec: PerturbSpec, rng) -> np.ndarray:
     import cv2
 
     h, w = img.shape[:2]
     x = img.astype(np.float32)
+    if spec.crumple > 0.0:
+        # folded/crumpled paper: broad buckle shading + sharp crease lines
+        shade = 0.5 * _blob_field(h, w, rng)
+        yy = np.arange(h, dtype=np.float32)[:, None]
+        xx = np.arange(w, dtype=np.float32)[None, :]
+        for _ in range(int(rng.integers(1, 4))):
+            ang = rng.uniform(0, np.pi)
+            off = rng.uniform(0.15, 0.85)
+            d = (np.cos(ang) * (xx - w * off) + np.sin(ang) * (yy - h * off))
+            width = rng.uniform(2.0, 8.0)
+            crease = np.exp(-(d / width) ** 2)
+            # a crease catches light on one side, shadows the other
+            shade += rng.choice([-1.0, 1.0]) * 0.8 * crease * np.tanh(d / width)
+        x = x * np.clip(1.0 + spec.crumple * 0.45 * shade, 0.45, 1.5)[..., None]
+    if spec.thermal_fade > 0.0:
+        # thermal receipt fade: ink density drops, worst in blotches/along
+        # one direction; paper tone survives
+        ang = rng.uniform(0, 2 * np.pi)
+        gx = np.linspace(-0.5, 0.5, w, dtype=np.float32)[None, :]
+        gy = np.linspace(-0.5, 0.5, h, dtype=np.float32)[:, None]
+        field = (0.55 + 0.45 * (np.cos(ang) * gx + np.sin(ang) * gy)
+                 + 0.35 * _blob_field(h, w, rng))
+        field = np.clip(field, 0.0, 1.0) * spec.thermal_fade
+        paper = float(np.percentile(x, 90))
+        ink = paper - x
+        x = paper - ink * (1.0 - field[..., None])
     if spec.contrast != 1.0 or spec.brightness != 0.0:
         x = (x - 128.0) * spec.contrast + 128.0 + spec.brightness * 255.0
     if spec.gamma != 1.0:
@@ -231,6 +281,37 @@ def _apply_photometric(img: np.ndarray, spec: PerturbSpec, rng) -> np.ndarray:
         k = cv2.warpAffine(k, rot, (spec.motion_blur, spec.motion_blur))
         k /= max(k.sum(), 1e-6)
         x = cv2.filter2D(x, -1, k)
+    if spec.halftone > 0.0:
+        # print-and-scan: amplitude-modulated dot screen on luminance,
+        # blended in (desaturates like a photocopy), then a light scan PSF
+        ang = rng.uniform(0, np.pi)
+        yy = np.arange(h, dtype=np.float32)[:, None]
+        xx = np.arange(w, dtype=np.float32)[None, :]
+        u = (np.cos(ang) * xx + np.sin(ang) * yy) / spec.halftone_cell
+        v = (-np.sin(ang) * xx + np.cos(ang) * yy) / spec.halftone_cell
+        screen = 0.5 + 0.25 * (np.cos(2 * np.pi * u) + np.cos(2 * np.pi * v))
+        lum = np.clip(x, 0, 255).mean(-1) / 255.0
+        dots = 255.0 / (1.0 + np.exp(-(lum - screen) * 9.0))
+        x = (1.0 - spec.halftone) * x + spec.halftone * dots[..., None]
+        x = cv2.GaussianBlur(x, (0, 0), 0.6)
+    if spec.screen_moire > 0.0:
+        # screen recapture: two subpixel gratings with per-channel phase
+        # (RGB stripe) + a low-frequency refresh band over rows
+        a = spec.screen_moire
+        period = rng.uniform(2.2, 4.2)
+        ang = rng.uniform(-0.2, 0.2)
+        yy = np.arange(h, dtype=np.float32)[:, None]
+        xx = np.arange(w, dtype=np.float32)[None, :]
+        u = (np.cos(ang) * xx + np.sin(ang) * yy) / period
+        v = (-np.sin(ang) * xx + np.cos(ang) * yy) / (period * rng.uniform(0.9, 1.2))
+        mod = np.empty((h, w, 3), np.float32)
+        for c in range(3):
+            ph = c / 3.0
+            mod[..., c] = (1.0
+                           - a * 0.22 * (1 + np.sin(2 * np.pi * (u + ph)))
+                           - a * 0.10 * (1 + np.sin(2 * np.pi * v)))
+        band = 1.0 - a * 0.12 * (1 + np.sin(2 * np.pi * yy / rng.uniform(60, 180)))
+        x = x * mod * band[..., None] + a * rng.uniform(4, 14)
     if spec.noise_std > 0.0:
         x = x + rng.normal(0, spec.noise_std, x.shape).astype(np.float32)
     x = np.clip(x, 0, 255).astype(np.uint8)

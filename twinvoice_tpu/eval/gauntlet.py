@@ -37,6 +37,27 @@ from twinvoice_tpu.data.synthetic import heldout_fonts, render_invoice, train_fo
 # severity per named level; None = untouched
 LEVELS: Dict[str, Optional[float]] = {"clean": None, "mild": 0.35, "hard": 1.0}
 
+# real-photo scenario tiers (VERDICT r2 #4): each applies ONE degradation
+# family at representative strength over a light photographic base
+SCENARIOS = ("printscan", "screenshot", "crumple", "thermal")
+
+
+def _scenario_spec(name: str, rng):
+    spec = augment.sample_spec(rng, 0.2)  # light base photography
+    spec.background = False               # isolate the scenario effect
+    if name == "printscan":
+        spec.halftone = float(rng.uniform(0.5, 0.8))
+        spec.halftone_cell = float(rng.uniform(2.4, 4.0))
+    elif name == "screenshot":
+        spec.screen_moire = float(rng.uniform(0.35, 0.6))
+    elif name == "crumple":
+        spec.crumple = float(rng.uniform(0.55, 0.95))
+    elif name == "thermal":
+        spec.thermal_fade = float(rng.uniform(0.5, 0.85))
+    else:  # pragma: no cover
+        raise KeyError(name)
+    return spec
+
 # content seeds are offset far away from the training generator's seed space
 HELDOUT_SEED_BASE = 777_000
 
@@ -99,7 +120,18 @@ def make_base_cases(
 def perturb_cases(
     cases: Sequence[GauntletCase], level: str, seed: int = 0
 ) -> List[GauntletCase]:
-    """Apply one named perturbation level to every case (native res)."""
+    """Apply one named perturbation level or scenario to every case
+    (native res). Levels are severity presets; scenarios (SCENARIOS) apply
+    one real-photo degradation family at representative strength."""
+    if level in SCENARIOS:
+        rng = np.random.default_rng(seed + sum(map(ord, level)))
+        out = []
+        for c in cases:
+            img, mask = augment.apply_spec(
+                c.image, c.mask, _scenario_spec(level, rng), rng
+            )
+            out.append(replace(c, image=img, mask=mask, level=level))
+        return out
     sev = LEVELS[level]
     if sev is None:
         return [replace(c, level="clean") for c in cases]

@@ -297,28 +297,52 @@ class InvoiceExtractor:
                 for im, log in zip(imgs, logs)
             ]
 
-        # 1. QR per image (host)
-        qr_raws = []
-        for im, log in zip(imgs, logs):
-            if self.cfg.use_qr and self.qr is not None:
-                with trace_span("fusion.qr_scan"):
-                    qr_raws.append(log.guarded("qr", self.qr.scan, im, default=[]))
-            else:
-                qr_raws.append([])
+        # 1+2. QR scans run in a thread pool OVERLAPPED with the batched
+        # segmenter call: the native QR decoder (ctypes) and PIL release the
+        # GIL, so the host-side scan work rides under the device call's
+        # wall time instead of serializing in front of it (~80% of the r2
+        # bulk wall was this serial host work, docs/PERFORMANCE.md).
+        scan_qr = self.cfg.use_qr and self.qr is not None
+        pool = None
+        qr_futs = None
+        if scan_qr and self.cfg.host_workers > 1 and len(imgs) > 1:
+            from concurrent.futures import ThreadPoolExecutor
 
-        # 2. segmentation, batched across invoices when supported
-        with trace_span("fusion.segment"):
-            if hasattr(self.segmenter, "segment_pil_batch"):
-                all_crops = [
-                    c for _, c in self.segmenter.segment_pil_batch(imgs)
+            pool = ThreadPoolExecutor(max_workers=self.cfg.host_workers)
+            with trace_span("fusion.qr_scan_submit"):
+                qr_futs = [
+                    pool.submit(log.guarded, "qr", self.qr.scan, im, default=[])
+                    for im, log in zip(imgs, logs)
                 ]
-            else:
-                all_crops = []
-                for im, log in zip(imgs, logs):
-                    _, crops = log.guarded(
-                        "segment", self.segmenter.segment_pil, im, default=({}, {})
-                    )
-                    all_crops.append(crops)
+
+        try:
+            with trace_span("fusion.segment"):
+                if hasattr(self.segmenter, "segment_pil_batch"):
+                    all_crops = [
+                        c for _, c in self.segmenter.segment_pil_batch(imgs)
+                    ]
+                else:
+                    all_crops = []
+                    for im, log in zip(imgs, logs):
+                        _, crops = log.guarded(
+                            "segment", self.segmenter.segment_pil, im,
+                            default=({}, {})
+                        )
+                        all_crops.append(crops)
+
+            with trace_span("fusion.qr_scan"):
+                if qr_futs is not None:
+                    qr_raws = [f.result() for f in qr_futs]
+                elif scan_qr:
+                    qr_raws = [
+                        log.guarded("qr", self.qr.scan, im, default=[])
+                        for im, log in zip(imgs, logs)
+                    ]
+                else:
+                    qr_raws = [[] for _ in imgs]
+        finally:
+            if pool is not None:
+                pool.shutdown(wait=False)
 
         # 3. OCR: one read_batch per engine over every (invoice, field) crop
         n_fields = len(FIELDS)

@@ -104,9 +104,14 @@ class QrPipeline:
     upscaled full-image pass when no region is found."""
 
     def __init__(self, decoders: Optional[Sequence[QrDecodeFn]] = None,
-                 min_len: int = MIN_PAYLOAD_LEN):
+                 min_len: int = MIN_PAYLOAD_LEN, max_payloads: int = 2):
+        """``max_payloads``: stop scanning further candidates once this many
+        distinct payloads decoded — a TW e-invoice carries exactly two QRs
+        (header + '**' continuation), so the full-frame / half-tile passes
+        are pure cost once both regions read. 0 disables early stop."""
         self.decoders = list(decoders) if decoders is not None else default_decoders()
         self.min_len = min_len
+        self.max_payloads = max_payloads
 
     def _decode_all(self, arr: np.ndarray) -> List[str]:
         out: List[str] = []
@@ -149,6 +154,8 @@ class QrPipeline:
 
         for arr in candidates:
             absorb(arr)
+            if self.max_payloads and len(found) >= self.max_payloads:
+                return found
         if not found:  # last resort: 2× upscale of the full frame
             absorb(cv2.resize(rgb, None, fx=2, fy=2, interpolation=cv2.INTER_LINEAR))
         return found
