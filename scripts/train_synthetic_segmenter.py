@@ -31,13 +31,18 @@ WEIGHTS_DIR = os.path.join(
 )
 
 
-def render_base(n, seed=0):
+def render_base(n, seed=0, stylize=0.8):
     """n native-resolution (image, mask, (w,h)) renders with font/layout
-    variety. Cached to /tmp (rendering is host-bound on this box)."""
+    variety. Cached to /tmp (rendering is host-bound on this box).
+
+    v3 adds per-field typography warping (``stylize``) + the widened
+    train-font registry (VERDICT r2 #3: kill the held-out-font cliff)."""
     from twinvoice_tpu import FIELDS
     from twinvoice_tpu.data.synthetic import render_invoice, train_fonts
 
-    key = hashlib.md5(f"synthbase-v2-{n}-{seed}".encode()).hexdigest()[:10]
+    key = hashlib.md5(
+        f"synthbase-v3-{n}-{seed}-{stylize}".encode()
+    ).hexdigest()[:10]
     cache = f"/tmp/synth_base_{key}.npz"
     if os.path.exists(cache):
         z = np.load(cache, allow_pickle=True)
@@ -60,8 +65,9 @@ def render_base(n, seed=0):
             items=[{"name": "測試品項", "qty": 1, "price": amount}],
             size=(w, h), seed=int(rng.integers(0, 2**31)),
             font_path=fonts[int(rng.integers(0, len(fonts)))],
-            font_size=int(rng.integers(18, 27)),
+            font_size=int(rng.integers(16, 29)),
             layout_jitter=0.7,
+            stylize=float(stylize * rng.uniform(0.3, 1.0)),
         )
         arr = np.asarray(img)
         mask = np.zeros((h, w, 3), np.uint8)
@@ -75,12 +81,12 @@ def render_base(n, seed=0):
     return packs
 
 
-def build_dataset(n, grid, seed=0):
+def build_dataset(n, grid, seed=0, stylize=0.8):
     import cv2
 
     from twinvoice_tpu.data.dataset import ArrayDataset
 
-    packs = render_base(n, seed)
+    packs = render_base(n, seed, stylize=stylize)
     imgs = np.zeros((n, grid, grid, 3), np.uint8)
     masks = np.zeros((n, grid, grid, 3), np.uint8)
     for i, (img, mask) in enumerate(packs):
@@ -94,6 +100,8 @@ def main():
     ap.add_argument("--width", type=int, default=16)
     ap.add_argument("--grid", type=int, default=512)
     ap.add_argument("--n", type=int, default=240)
+    ap.add_argument("--stylize", type=float, default=0.8,
+                    help="per-field typography warp strength (0 = legacy)")
     ap.add_argument("--epochs", type=int, default=40)
     ap.add_argument("--severity", type=float, default=0.6,
                     help="augmentation severity (0 disables)")
@@ -116,7 +124,7 @@ def main():
         out = os.path.join(WEIGHTS_DIR, f"segmenter_synth_w{args.width}{suffix}.npz")
 
     print(f"building {args.n} synthetic invoices @ {args.grid}²...", flush=True)
-    ds = build_dataset(args.n, args.grid)
+    ds = build_dataset(args.n, args.grid, stylize=args.stylize)
     if args.severity > 0:
         ds = AugmentedDataset(ds, severity=args.severity, p_clean=0.3)
 

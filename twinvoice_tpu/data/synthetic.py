@@ -57,6 +57,34 @@ def _existing(paths):
 
 
 def train_fonts() -> List[str]:
+    """Every *training-eligible* typeface discoverable in this image
+    (VERDICT r2 #3: diversify training typography). The held-out families
+    (STIX, Computer Modern, pygame's FreeSans/sans, Playfair) are NEVER
+    listed here — the gauntlet's font-generalization tier depends on it."""
+    mpl = _mpl_font_dir()
+    # .../site-packages/matplotlib/mpl-data/fonts/ttf -> site-packages
+    site = _os.path.dirname(_os.path.dirname(
+        _os.path.dirname(_os.path.dirname(mpl)))) if mpl else ""
+    extra = []
+    if mpl:
+        extra += [
+            _os.path.join(mpl, f)
+            for f in (
+                # the two *Display.ttf supplements render NO basic-latin
+                # glyphs (probed) — excluded
+                "DejaVuSans-Oblique.ttf", "DejaVuSans-BoldOblique.ttf",
+                "DejaVuSansMono-Oblique.ttf",
+                "DejaVuSansMono-BoldOblique.ttf", "DejaVuSerif-Bold.ttf",
+                "DejaVuSerif-Italic.ttf", "DejaVuSerif-BoldItalic.ttf",
+            )
+        ]
+    if site:
+        extra += [
+            _os.path.join(site, "mujoco", "experimental", "studio", "assets",
+                          "AtkinsonHyperlegibleNext[wght].ttf"),
+            _os.path.join(site, "gymnasium", "envs", "toy_text", "font",
+                          "Minecraft.ttf"),
+        ]
     return _existing(
         [
             _os.path.join(_DEJAVU, "DejaVuSansMono.ttf"),
@@ -65,6 +93,7 @@ def train_fonts() -> List[str]:
             _os.path.join(_DEJAVU, "DejaVuSansMono-Bold.ttf"),
             _os.path.join(_DEJAVU, "DejaVuSans-Bold.ttf"),
         ]
+        + extra
     )
 
 
@@ -86,11 +115,70 @@ def heldout_fonts() -> List[str]:
         cands += [
             _os.path.join(pg, "freesansbold.ttf"),
             _os.path.join(pg, "examples", "data", "sans.ttf"),
+            _os.path.join(pg, "tests", "fixtures", "fonts",
+                          "PlayfairDisplaySemibold.ttf"),
         ]
     except Exception:
         pass
     out = _existing(cands)
     return out or train_fonts()  # degrade gracefully off this box
+
+
+def _draw_stylized_value(img, text, font, xy, line_h, rng, stylize):
+    """Draw ``text`` through a random typography transform and paste at
+    ``xy``. Returns the ground-truth box (x1, y1, x2, y2) of the pasted ink.
+
+    Transform space (each effect scaled by ``stylize``):
+    - tracking: extra per-character spacing (0..4 px)
+    - weight: morphological dilate (bolder) / erode (lighter) of the ink
+    - slant: horizontal shear within ±0.30
+    - aspect: horizontal stretch ×(0.78..1.35)
+    """
+    import cv2
+    from PIL import Image, ImageDraw
+
+    x, y = xy
+    tracking = int(round(rng.uniform(0, 4) * stylize * (rng.uniform() < 0.5)))
+    # render onto a generous grayscale tile (white paper, black ink)
+    pad = 8
+    est_w = int(sum(font.getlength(ch) for ch in text)
+                + tracking * len(text) + 2 * pad + 8)
+    tile = Image.new("L", (est_w, line_h + 2 * pad + 8), 255)
+    td = ImageDraw.Draw(tile)
+    cx = pad
+    for ch in text:
+        td.text((cx, pad), ch, fill=0, font=font)
+        cx += font.getlength(ch) + tracking
+    t = np.asarray(tile)
+
+    r = rng.uniform()
+    if r < 0.35 * stylize:
+        t = cv2.erode(t, np.ones((2, 2), np.uint8))      # ink spreads: bolder
+    elif r < 0.6 * stylize:
+        t = cv2.dilate(t, np.ones((2, 2), np.uint8))     # ink shrinks: lighter
+    shear = rng.uniform(-0.30, 0.30) * stylize
+    sx = 1.0 + rng.uniform(-0.22, 0.35) * stylize
+    h0, w0 = t.shape
+    m = np.array([[sx, shear, abs(shear) * h0], [0, 1, 0]], np.float32)
+    w1 = int(w0 * sx + abs(shear) * h0 + 2)
+    t = cv2.warpAffine(t, m, (w1, h0), flags=cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_CONSTANT, borderValue=255)
+
+    ys, xs = np.where(t < 200)
+    if len(xs) == 0:  # degenerate; fall back to plain drawing
+        ImageDraw.Draw(img).text((x, y), text, fill=(20, 20, 20), font=font)
+        return (x, y, int(x + font.getlength(text)), y + line_h)
+    y0i, y1i = ys.min(), ys.max() + 1
+    x0i, x1i = xs.min(), xs.max() + 1
+    t = t[y0i:y1i, x0i:x1i]
+    # composite: multiply ink onto the (noisy paper) background
+    region = np.asarray(img.crop((x, y, x + t.shape[1], y + t.shape[0])))
+    if region.shape[:2] != t.shape:  # clipped at the page edge
+        t = t[: region.shape[0], : region.shape[1]]
+    ink = (t.astype(np.float32) / 255.0)[..., None]
+    out = (region.astype(np.float32) * ink + 20.0 * (1 - ink)).astype(np.uint8)
+    img.paste(Image.fromarray(out), (x, y))
+    return (x, y, x + t.shape[1], y + t.shape[0])
 
 
 def render_invoice(
@@ -103,13 +191,18 @@ def render_invoice(
     font_path: Optional[str] = None,
     font_size: int = 22,
     layout_jitter: float = 0.0,
+    stylize: float = 0.0,
 ):
     """Returns (PIL.Image RGB, field→(x1,y1,x2,y2) ground-truth boxes).
 
     ``font_path``/``font_size`` select the value-text typeface (default:
     DejaVuSansMono 22 — the round-1 behavior). ``layout_jitter`` ∈ [0,1]
     randomizes field positions/ordering so segmenters must find text, not
-    memorize coordinates.
+    memorize coordinates. ``stylize`` ∈ [0,1] warps each field's value
+    text through a random typography transform (weight via morphology,
+    slant shear, aspect stretch, letter tracking) — synthetic font-space
+    mixing so models read layout/ink rather than one font's glyph shapes
+    (VERDICT r2 #3); 0 keeps the exact legacy rendering.
     """
     from PIL import Image, ImageDraw
 
@@ -136,6 +229,9 @@ def render_invoice(
         """CJK label in the small default font (cosmetic), latin/digit VALUE
         in a print-quality font — the ground-truth box covers the value."""
         draw.text((x - 90, y + 6), label_text, fill=(20, 20, 20))
+        if stylize > 0:
+            return _draw_stylized_value(img, value_text, font, (x, y),
+                                        line_h, rng, float(stylize))
         draw.text((x, y), value_text, fill=(20, 20, 20), font=font)
         tw = draw.textlength(value_text, font=font)
         return (x, y, int(x + tw), y + line_h)

@@ -20,7 +20,21 @@ from twinvoice_tpu.ocr.jaxocr.model import IMG_H, IMG_W
 
 MAX_LABEL = 24
 
-_FONT_PATHS = sorted(glob.glob("/usr/share/fonts/truetype/dejavu/*.ttf"))
+def _font_paths():
+    """Training typefaces: the widened registry (data.synthetic.train_fonts,
+    VERDICT r2 #3) — never the gauntlet's held-out families."""
+    try:
+        from twinvoice_tpu.data.synthetic import train_fonts
+
+        out = train_fonts()
+        if out:
+            return out
+    except Exception:
+        pass
+    return sorted(glob.glob("/usr/share/fonts/truetype/dejavu/*.ttf"))
+
+
+_FONT_PATHS = _font_paths()
 
 # Realistic TW receipt item names / labels, drawn from the classifier keyword
 # vocabulary (fusion/classify.py) and common e-invoice text — all covered by
@@ -116,6 +130,27 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
 
     if rng.random() < 0.4:
         crop = crop.rotate(float(rng.uniform(-4.0, 4.0)), expand=True, fillcolor=255)
+
+    if rng.random() < 0.5:
+        # typography warp (VERDICT r2 #3): weight via morphology + slant
+        # shear — the recognizer must read glyph structure, not one font's
+        # exact shapes
+        import cv2
+
+        t = np.asarray(crop)
+        r = rng.random()
+        if r < 0.3:
+            t = cv2.erode(t, np.ones((2, 2), np.uint8))    # bolder ink
+        elif r < 0.5:
+            t = cv2.dilate(t, np.ones((2, 2), np.uint8))   # lighter ink
+        shear = float(rng.uniform(-0.25, 0.25))
+        h0, w0 = t.shape
+        m = np.array([[1.0, shear, abs(shear) * h0], [0.0, 1.0, 0.0]],
+                     np.float32)
+        t = cv2.warpAffine(t, m, (int(w0 + abs(shear) * h0 + 2), h0),
+                           flags=cv2.INTER_LINEAR,
+                           borderMode=cv2.BORDER_CONSTANT, borderValue=255)
+        crop = Image.fromarray(t)
 
     # fit into target while keeping aspect (± slight x-stretch, simulating
     # the aspect distortion bbox scale-back introduces); random placement
