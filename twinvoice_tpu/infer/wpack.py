@@ -127,20 +127,21 @@ def conv_transpose2x2_pack_out_i8(x, k):
 
     Same semantics as ops/conv.conv_transpose2x2 (``out[n,2i+a,2j+b,o] =
     Σ_c x·K[a,b,c,o]``) with the W-interleave replaced by the phase dim:
-    packed[n,2i+a,j,b*Co+o]. Non-overlapping windows ⇒ one matmul and an
-    H-only interleave."""
-    n, h, w, ci = x.shape
-    kh, kw, kci, co = k.shape
-    assert (kh, kw) == (2, 2) and kci == ci, (k.shape, x.shape)
-    # (Cin, a, b*Co) — b rides into the packed channel dim
-    kmat = jnp.transpose(k, (2, 0, 1, 3)).reshape(ci, kh, kw * co)
-    y = jax.lax.dot_general(
-        x.reshape(n * h * w, ci), kmat.reshape(ci, kh * kw * co),
-        dimension_numbers=(((1,), (0,)), ((), ())),
+    packed[n,2i+a,j,b*Co+o] — i.e. a stride-(2,1) transpose conv whose
+    width tap rides in the output channels. Expressed via
+    ``lax.conv_transpose`` (not a matmul+transpose) so XLA fuses the
+    dequant→requant epilogue into the conv and the s32 output (8.6 GB at
+    b128 full-res!) never reaches HBM — the matmul form OOM'd the chip."""
+    kh, kw, ci, co = k.shape
+    assert (kh, kw) == (2, 2) and ci == x.shape[3], (k.shape, x.shape)
+    # kp[a, 0, c, b*Co+o] = K[a, b, c, o]; same H-flip convention as
+    # quant._conv_transpose2x2_i8 (W flip is a no-op at width 1)
+    kp = jnp.transpose(k, (0, 2, 1, 3)).reshape(kh, 1, ci, kw * co)
+    return lax.conv_transpose(
+        x, kp[::-1], strides=(2, 1), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=jnp.int32,
     )
-    y = y.reshape(n, h, w, kh, kw * co)
-    return jnp.transpose(y, (0, 1, 3, 2, 4)).reshape(n, h * kh, w, kw * co)
 
 
 def max_pool2_packed(t):
@@ -279,12 +280,11 @@ def unet_apply_quantized_wpack_rowcol_max(q, imgs_u8, logits_dtype=jnp.float32):
     wp = jnp.zeros((2 * c, 2 * co), jnp.float32)
     wp = wp.at[:c, :co].set(w)
     wp = wp.at[c:, co:].set(w)
+    # same astype*scale → 1×1-conv shape XLA is known to fuse (the f32
+    # activations never materialize); a dot_general here OOM'd at b128
     hf = hp.astype(logits_dtype) * jnp.asarray(s, logits_dtype)
-    lp = jax.lax.dot_general(
-        hf, wp.astype(logits_dtype),
-        dimension_numbers=(((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )                                                  # (B, H, P, 6)
+    lp = conv1x1(hf, {"kernel": wp[None, None]}).astype(jnp.float32)
+    # (B, H, P, 6)
     rm6 = jnp.max(lp, axis=2)                          # (B, H, 6)
     row_max = jnp.maximum(rm6[..., :co], rm6[..., co:])
     cm6 = jnp.max(lp, axis=1)                          # (B, P, 6)
