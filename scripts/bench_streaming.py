@@ -57,12 +57,30 @@ def main(frames=30, res=512, width=64):
         jax.device_get((boxes, ok))  # one host round-trip for both outputs
         lat.append(1e3 * (time.perf_counter() - t0))
     lat.sort()
+
+    # amortized mode (VERDICT r2 #7): keep TWO frames in flight — dispatch
+    # frame N+1 before fetching frame N's boxes, so per-frame cost rides the
+    # relay pipeline instead of serializing dispatch→compute→fetch. This is
+    # how a real streaming consumer would drive the graph (a camera always
+    # has the next frame ready); each frame's boxes are still fetched.
+    t0 = time.perf_counter()
+    pending = None
+    for _ in range(frames):
+        _, boxes, ok = seg.segment_batch(frame, sizes, pre_resized=False,
+                                         return_masks=False)
+        if pending is not None:
+            jax.device_get(pending)
+        pending = (boxes, ok)
+    jax.device_get(pending)
+    amortized = 1e3 * (time.perf_counter() - t0) / frames
+
     print(
         json.dumps(
             {
                 "metric": f"1080p streaming frame latency (device resize + bf16 w{width} U-Net@{res} + bbox)",
                 "p50_ms": round(lat[len(lat) // 2], 2),
                 "p95_ms": round(lat[int(0.95 * len(lat)) - 1], 2),
+                "amortized_ms_2inflight": round(amortized, 2),
                 "target_ms": 30,
             }
         )

@@ -27,13 +27,14 @@ FWD_GFLOP_PER_IMG = 219.0
 BF16_PEAK_TFLOPS = 197.0
 
 
-def bench(dtype_name, batch, iters=6):
+def bench(dtype_name, batch, iters=6, remat=False):
     from twinvoice_tpu.config import TrainConfig, UNetConfig
     from twinvoice_tpu.models.unet import init_unet
     from twinvoice_tpu.train.trainer import TrainState, make_optimizer, make_train_step
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
-    mcfg, tcfg = UNetConfig(), TrainConfig(batch_size=batch, dtype=dtype_name)
+    mcfg = UNetConfig()
+    tcfg = TrainConfig(batch_size=batch, dtype=dtype_name, remat=remat)
     params, bn = init_unet(jax.random.key(0), mcfg)
     opt = make_optimizer(tcfg)
     state = TrainState(params, bn, opt.init(params))
@@ -53,8 +54,9 @@ def bench(dtype_name, batch, iters=6):
     dt = (time.perf_counter() - t0) / iters
 
     tflops = 3 * FWD_GFLOP_PER_IMG * batch / dt / 1e3
+    rlabel = " remat" if remat else ""
     row = {
-        "config": f"{dtype_name} bs={batch} @512^2 (fwd+bwd+AdamW, 1 chip)",
+        "config": f"{dtype_name} bs={batch}{rlabel} @512^2 (fwd+bwd+AdamW, 1 chip)",
         "ms_per_step": round(dt * 1e3, 1),
         "img_per_s": round(batch / dt, 2),
         "tflops": round(tflops, 1),
@@ -64,10 +66,29 @@ def bench(dtype_name, batch, iters=6):
     return row
 
 
-def main(iters=6):
+def main(iters=6, sweep=False):
+    if sweep:
+        # VERDICT r2 #6: batch scaling to the OOM edge, MFU per point,
+        # then the remat variant past the plain-mode edge
+        for batch in (16, 24, 32, 48, 64):
+            try:
+                bench("bf16", batch, iters)
+            except Exception as e:
+                print(json.dumps({"config": f"bf16 bs={batch}",
+                                  "error": str(e)[:160]}), flush=True)
+                break
+        for batch in (32, 48, 64, 96):
+            try:
+                bench("bf16", batch, iters, remat=True)
+            except Exception as e:
+                print(json.dumps({"config": f"bf16 bs={batch} remat",
+                                  "error": str(e)[:160]}), flush=True)
+                break
+        return
     for dtype_name, batch in (("fp32", 4), ("bf16", 4), ("bf16", 16)):
         bench(dtype_name, batch, iters)
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]) if len(sys.argv) > 1 else 6)
+    it = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 6
+    main(it, sweep="--sweep" in sys.argv)

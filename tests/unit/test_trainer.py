@@ -86,3 +86,39 @@ def test_lr_follows_schedule(tmp_path):
     sched = cosine_warm_restarts(cfg.train.lr, 10, 2)
     assert history[0]["lr"] == pytest.approx(sched(0))
     assert history[1]["lr"] == pytest.approx(sched(1))
+
+
+def test_remat_train_step_matches_plain():
+    """cfg.remat=True must change memory behavior only: identical loss and
+    near-identical grads (XLA refusion may differ in the last float bits;
+    Adam would amplify those, so compare grads, not post-update params)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from twinvoice_tpu.config import TrainConfig, UNetConfig
+    from twinvoice_tpu.models.unet import init_unet, unet_apply
+    from twinvoice_tpu.train.losses import invoice_loss
+
+    mcfg = UNetConfig(base_width=8)
+    tcfg = TrainConfig(batch_size=2)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (2, 32, 32, 3)), jnp.float32)
+    y = jnp.asarray((rng.uniform(size=(2, 32, 32, 3)) > 0.8), jnp.float32)
+    params, bn = init_unet(jax.random.key(0), mcfg)
+
+    def grads_for(remat):
+        def loss_fn(p):
+            logits, _ = unet_apply(p, bn, x, cfg=mcfg, train=True,
+                                   remat=remat)
+            return invoice_loss(logits, y, tcfg.loss)
+
+        return jax.jit(jax.value_and_grad(loss_fn))(params)
+
+    (l0, g0), (l1, g1) = grads_for(False), grads_for(True)
+    assert np.isclose(float(l0), float(l1), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                                rtol=1e-4, atol=1e-6),
+        g0, g1,
+    )

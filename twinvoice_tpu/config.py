@@ -63,6 +63,8 @@ class TrainConfig:
     visualize: bool = True
     val_fraction: float = 0.0     # reference has no val split; >0 enables one
     dtype: str = "float32"        # "float32" (parity) or "bfloat16" (fast)
+    remat: bool = False           # jax.checkpoint each DoubleConv: ~1/3 more
+    # FLOPs for a large activation-memory cut (push batch past the HBM edge)
 
 
 @dataclass(frozen=True)

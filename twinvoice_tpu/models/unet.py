@@ -103,24 +103,34 @@ def _double_conv(p, s, x, *, train, momentum, eps):
     return x, {"bn1": s1, "bn2": s2}
 
 
-def unet_apply(params, state, x, *, cfg: UNetConfig = UNetConfig(), train=False):
+def unet_apply(params, state, x, *, cfg: UNetConfig = UNetConfig(), train=False,
+               remat=False):
     """Forward pass. ``x``: (N,H,W,Cin) with H,W divisible by 2^depth.
 
     Returns ``(logits (N,H,W,num_classes), new_state)``.
+
+    ``remat=True`` wraps every DoubleConv in ``jax.checkpoint``: the
+    backward pass recomputes block internals instead of keeping them live,
+    trading ~⅓ more FLOPs for a large activation-memory cut — the standard
+    TPU lever for pushing the train batch past the HBM edge (the block
+    inputs/skips alone stay resident).
     """
     mom, eps = cfg.bn_momentum, cfg.bn_eps
+    def dc(p, s, h):
+        return _double_conv(p, s, h, train=train, momentum=mom, eps=eps)
+
+    if remat:
+        dc = jax.checkpoint(dc)
     new_state = {"enc": [], "dec": []}
     skips = []
     h = x
     for p, s in zip(params["enc"], state["enc"]):
-        h, ns = _double_conv(p, s, h, train=train, momentum=mom, eps=eps)
+        h, ns = dc(p, s, h)
         new_state["enc"].append(ns)
         skips.append(h)
         h = max_pool2(h)
 
-    h, ns = _double_conv(
-        params["bottleneck"], state["bottleneck"], h, train=train, momentum=mom, eps=eps
-    )
+    h, ns = dc(params["bottleneck"], state["bottleneck"], h)
     new_state["bottleneck"] = ns
 
     for up_p, dec_p, dec_s, skip in zip(
@@ -128,7 +138,7 @@ def unet_apply(params, state, x, *, cfg: UNetConfig = UNetConfig(), train=False)
     ):
         h = conv_transpose2x2(h, up_p)
         h = jnp.concatenate([h, skip], axis=-1)  # [upsampled, skip] — torch cat order
-        h, ns = _double_conv(dec_p, dec_s, h, train=train, momentum=mom, eps=eps)
+        h, ns = dc(dec_p, dec_s, h)
         new_state["dec"].append(ns)
 
     logits = conv1x1(h, params["out"])
