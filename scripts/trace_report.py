@@ -4,7 +4,7 @@
 script runs the folded forward under a trace and prints the top device-side
 fusions by accumulated time — the round-2 kernel-hunting entry point.
 
-Usage: python scripts/trace_report.py [batch] [--int8]
+Usage: python scripts/trace_report.py [batch] [--int8] [--no-wpack]
 """
 
 import glob
@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 
-def main(batch=32, int8=False):
+def main(batch=32, int8=False, wpack=True):
     from twinvoice_tpu.config import UNetConfig
     from twinvoice_tpu.models.unet import fold_unet, init_unet, unet_apply_folded
 
@@ -38,7 +38,8 @@ def main(batch=32, int8=False):
         from twinvoice_tpu.infer.pipeline import Segmenter
 
         seg = Segmenter(params, state, mcfg, InferConfig(),
-                        dtype=jnp.bfloat16, int8_calib=[np.asarray(imgs[:8])])
+                        dtype=jnp.bfloat16, int8_calib=[np.asarray(imgs[:8])],
+                        int8_wpack=wpack)
         sizes = jnp.asarray([[1920, 1080]] * batch, jnp.int32)
 
         def f(folded, imgs):
@@ -77,5 +78,6 @@ def main(batch=32, int8=False):
 
 
 if __name__ == "__main__":
-    argv = [a for a in sys.argv[1:] if a != "--int8"]
-    main(int(argv[0]) if argv else 32, int8="--int8" in sys.argv)
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    main(int(argv[0]) if argv else 32, int8="--int8" in sys.argv,
+         wpack="--no-wpack" not in sys.argv)

@@ -44,7 +44,7 @@ class Segmenter:
         int8_calib=None,
         int8_pallas=None,
         int8_head="xla",
-        int8_wpack=True,
+        int8_wpack=False,
     ):
         """``int8_calib``: an iterable of uint8 (B,H,W,3) batches switches the
         forward to the int8 MXU path (infer/quant.py) — weights quantized
@@ -55,10 +55,11 @@ class Segmenter:
         of ``int8_head``; None = auto (currently off — measured slower, see
         the note below). Prepacking assumes the serving batch of 128; other
         batch sizes trip the kernels' tile asserts. ``int8_wpack``
-        (default True): run the full-resolution stages W-phase-packed
-        (infer/wpack — two output columns per 128-lane channel group;
-        bit-exact vs the concat graph) — the half-lane Cout fix the r2
-        trace called for. ``int8_head``: "xla"
+        (default False — measured SLOWER on v5e: 430 vs 480 img/s; the
+        int8 conv emitter is not lane-limited, docs/PERFORMANCE.md r3
+        geometry post-mortem): run the full-resolution stages
+        W-phase-packed (infer/wpack), bit-exact vs the concat graph;
+        "enc" packs only the encoder stage. ``int8_head``: "xla"
         (default — measured
         faster at batch 128: XLA fuses the 1×1 out-conv into the row/col
         max-reductions well, while the Pallas head's M=3 micro-GEMMs are
@@ -104,6 +105,7 @@ class Segmenter:
         use_pallas_trunk = self.pallas_params is not None
         use_pallas_head = int8_head == "pallas"
         use_wpack = bool(int8_wpack) and quantized
+        wpack_mode = "enc" if int8_wpack == "enc" else "full"
 
         @partial(jax.jit, static_argnames=("return_masks",))
         def _run(folded, imgs_u8, orig_sizes, return_masks=True):
@@ -150,7 +152,7 @@ class Segmenter:
                 from twinvoice_tpu.ops.pallas_head import bbox_from_rowcol_max
 
                 row_max, col_max = unet_apply_quantized_wpack_rowcol_max(
-                    folded, imgs_u8
+                    folded, imgs_u8, mode=wpack_mode
                 )
                 thr_eff = logit_thr - folded["out"]["bias"].astype(jnp.float32)
                 gboxes, valid = bbox_from_rowcol_max(row_max, col_max, thr_eff)
@@ -172,7 +174,7 @@ class Segmenter:
                     )
 
                     logits = unet_apply_quantized_wpack(
-                        folded, imgs_u8, logits_dtype=ldt
+                        folded, imgs_u8, logits_dtype=ldt, mode=wpack_mode
                     )
                 else:
                     logits = q_apply(folded, imgs_u8, logits_dtype=ldt)
@@ -208,7 +210,8 @@ class Segmenter:
                         unet_apply_quantized_wpack,
                     )
 
-                    logits = unet_apply_quantized_wpack(folded, xq8)
+                    logits = unet_apply_quantized_wpack(folded, xq8,
+                                                        mode=wpack_mode)
                 else:
                     logits = q_apply(folded, xq8)
             else:

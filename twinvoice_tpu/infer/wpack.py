@@ -162,7 +162,7 @@ def unpack(t):
 # ------------------------------------------------------- the packed trunk
 
 
-def unet_apply_quantized_features_wpack(q, imgs_u8):
+def unet_apply_quantized_features_wpack(q, imgs_u8, mode="full"):
     """Packed-full-res variant of quant.unet_apply_quantized_features
     (kept in lockstep — bit-exactness pinned in tests/unit/test_wpack.py).
 
@@ -172,6 +172,11 @@ def unet_apply_quantized_features_wpack(q, imgs_u8):
     - the last up-conv packs for free; the last decoder DoubleConv runs
       packed-in/packed-out (2× FLOPs, full lanes, zero relayouts)
     Returns (packed final activations int8 (B,H,W/2,2C), dequant scale).
+
+    ``mode``: "full" packs encoder+decoder as above; "enc" packs only
+    enc0 conv2 and unpacks the skip with a reshape (one int8 relayout)
+    so the decoder runs the original concat form — the A/B isolating the
+    stride-(1,2) pack-out conv from the 2×-FLOP packed-in decoder.
     """
     xq = (imgs_u8 >> 1).astype(jnp.int8)
     s = INPUT_SCALE
@@ -197,9 +202,14 @@ def unet_apply_quantized_features_wpack(q, imgs_u8):
     h, s = _q_double_conv(q["bottleneck"], h, s)
 
     last = len(q["dec"]) - 1
+    if mode == "enc":
+        # unpack the packed skip once; run the whole decoder in the
+        # original concat form and re-pack only the returned features
+        hp0, s0 = skips[0]
+        skips[0] = (unpack(hp0), s0)
     for j, (up_q, dec_q) in enumerate(zip(q["up"], q["dec"])):
         skip, s_skip = skips[len(skips) - 1 - j]
-        if j < last:
+        if j < last or mode == "enc":
             # interior decoder stage: the concat-form path from quant.py
             up = jnp.asarray(
                 lax.conv_transpose(
@@ -253,28 +263,39 @@ def unet_apply_quantized_features_wpack(q, imgs_u8):
             hp = _requant(jax.nn.relu(y2), dec_q["s2"])
             s = dec_q["s2"] / 127.0
             return hp, s
-    raise AssertionError("decoder must end at full resolution")
+    assert mode == "enc", "decoder must end at full resolution"
+    return h, s  # enc mode: UNPACKED final activations
 
 
-def unet_apply_quantized_wpack(q, imgs_u8, logits_dtype=jnp.float32):
+def unet_apply_quantized_wpack(q, imgs_u8, logits_dtype=jnp.float32,
+                               mode="full"):
     """uint8 images → logits via the packed trunk (bit-exact vs the concat
     graph, pinned). The head unpacks with a reshape and runs the same 1×1
     conv as quant.unet_apply_quantized."""
-    hp, s = unet_apply_quantized_features_wpack(q, imgs_u8)
-    hf = unpack(hp).astype(logits_dtype) * jnp.asarray(s, logits_dtype)
+    hp, s = unet_apply_quantized_features_wpack(q, imgs_u8, mode=mode)
+    if mode == "enc":
+        hf = hp.astype(logits_dtype) * jnp.asarray(s, logits_dtype)
+    else:
+        hf = unpack(hp).astype(logits_dtype) * jnp.asarray(s, logits_dtype)
     out = {"kernel": q["out"]["kernel"].astype(logits_dtype),
            "bias": q["out"]["bias"].astype(logits_dtype)}
     return conv1x1(hf, out)
 
 
-def unet_apply_quantized_wpack_rowcol_max(q, imgs_u8, logits_dtype=jnp.float32):
+def unet_apply_quantized_wpack_rowcol_max(q, imgs_u8, logits_dtype=jnp.float32,
+                                          mode="full"):
     """Box-only path on the packed trunk: the 1×1 head runs packed
     ((2C,6) block-diagonal kernel) and the bbox row/col max-reductions
     consume the packed logits directly — only the tiny reduced tensors are
     ever unpacked. Returns *bias-free* (row_max (B,H,3), col_max (B,W,3));
     callers fold q['out']['bias'] into their thresholds (same contract as
     quant.unet_apply_quantized_rowcol_max)."""
-    hp, s = unet_apply_quantized_features_wpack(q, imgs_u8)
+    hp, s = unet_apply_quantized_features_wpack(q, imgs_u8, mode=mode)
+    if mode == "enc":
+        # unpacked trunk output: the old head/reduction shapes
+        hf = hp.astype(logits_dtype) * jnp.asarray(s, logits_dtype)
+        lg = conv1x1(hf, {"kernel": q["out"]["kernel"]}).astype(jnp.float32)
+        return jnp.max(lg, axis=2), jnp.max(lg, axis=1)
     w = q["out"]["kernel"][0, 0]                       # (C, 3)
     c, co = w.shape
     wp = jnp.zeros((2 * c, 2 * co), jnp.float32)
