@@ -1,0 +1,378 @@
+"""NHWC int8 conv mega-kernels: few grid steps, inner-loop DMA streaming.
+
+Round-3 attribution (docs/PERFORMANCE.md) showed every round-2 Pallas
+kernel was bound by ~10-22 µs of fixed per-grid-step/per-strided-DMA
+overhead (three different kernels, one law: wall ≈ steps × overhead), not
+by compute or memory bandwidth. These kernels restructure the same conv
+math to dodge both:
+
+- grid = (B,) — 128 steps for the flagship shape, so step dispatch
+  overhead is ~1 ms total instead of 40-90 ms;
+- the kernel streams CONTIGUOUS row slabs (an NHWC row is one 32 KB
+  strip; the old frame-format halo windows were 192 tiny strided strips
+  per tile — that's where the "85 ms floor" actually lived) through a
+  2-slot VMEM ring with ``pltpu.make_async_copy``, double-buffered in
+  AND out, with an inner ``fori_loop`` over row blocks;
+- requant epilogue fused in-kernel (s32 never reaches HBM).
+
+Reference parity: computes exactly the reference's full-res DoubleConv
+convs (unet_model.py:29-32) in the int8 serving quantization scheme
+(infer/quant.py); bit-exactness pinned in tests/unit/test_nhwc_conv.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _interpret_default():
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(
+    jax.jit, static_argnames=("relu", "th", "interpret")
+)
+def qconv3x3_nhwc_requant(x_pad, w, a, bias, out_scale, *, relu=True,
+                          th=8, interpret=None):
+    """int8 3×3 SAME conv + requant on NHWC, streaming row slabs.
+
+    ``x_pad``: (B, H+2, W+2, C) int8 — the caller zero-pads H and W by 1
+    (in XLA; the pad fuses with the producer or costs one cheap copy).
+    ``w``: (3, 3, C, Co) int8. ``a``: (Co,) f32 = s_in · w_scale.
+    ``bias``: (Co,) f32. ``out_scale``: scalar f32.
+    Returns (B, H, W, Co) int8 = clip(round(relu(conv·a + bias)·127/os)).
+
+    Grid is (B,); each step loops over H/th row blocks with 2-slot
+    double-buffered input AND output DMAs.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    bsz, hp, wp, c = x_pad.shape
+    h, wdt = hp - 2, wp - 2
+    co = w.shape[3]
+    assert h % th == 0, (h, th)
+    nblk = h // th
+
+    def kernel(x_hbm, w_ref, a_ref, b_ref, os_ref, o_hbm,
+               xbuf, obuf, in_sem, out_sem):
+        b = pl.program_id(0)
+
+        def in_dma(blk, slot):
+            return pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(blk * th, th + 2)],
+                xbuf.at[slot], in_sem.at[slot],
+            )
+
+        def out_dma(blk, slot):
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                o_hbm.at[b, pl.ds(blk * th, th)], out_sem.at[slot],
+            )
+
+        in_dma(0, 0).start()
+        inv_os = 127.0 / os_ref[0, 0]
+
+        def body(blk, carry):
+            slot = blk % 2
+
+            @pl.when(blk + 1 < nblk)
+            def _():
+                in_dma(blk + 1, (blk + 1) % 2).start()
+
+            in_dma(blk, slot).wait()
+            xw = xbuf[slot]                       # (th+2, W+2, C)
+            acc = jnp.zeros((th, wdt, co), jnp.int32)
+            for dy in range(3):
+                for dx in range(3):
+                    acc = acc + lax.dot_general(
+                        xw[dy : dy + th, dx : dx + wdt, :],
+                        w_ref[dy, dx],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+            y = acc.astype(jnp.float32) * a_ref[:] + b_ref[:]
+            if relu:
+                q = jnp.clip(jnp.round(jnp.maximum(y, 0.0) * inv_os),
+                             0, 127).astype(jnp.int8)
+            else:
+                q = jnp.clip(jnp.round(y * inv_os),
+                             -127, 127).astype(jnp.int8)
+
+            # reclaim this obuf slot (its DMA was started at blk-2)
+            @pl.when(blk >= 2)
+            def _():
+                out_dma(blk - 2, slot).wait()
+
+            obuf[slot] = q
+            out_dma(blk, slot).start()
+            return carry
+
+        lax.fori_loop(0, nblk, body, 0)
+        # drain the last (up to) two in-flight output DMAs
+        @pl.when(nblk >= 2)
+        def _():
+            out_dma(nblk - 2, (nblk - 2) % 2).wait()
+
+        out_dma(nblk - 1, (nblk - 1) % 2).wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 3, c, co), lambda b: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wdt, co), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, wp, c), jnp.int8),
+            pltpu.VMEM((2, th, wdt, co), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x_pad, w, a.astype(jnp.float32), bias.astype(jnp.float32),
+      jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
+
+
+def pad_nhwc(x):
+    """Zero-pad H and W by 1 (the conv's SAME halo) — int8 NHWC."""
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
+
+
+# ------------------------------------------------- pair-packed mega-kernel
+#
+# The v1 kernel above fixes the DMA/dispatch overhead but its tap-dots are
+# (M, 64)@(64, 64) — a quarter of the MXU. The pair-packed variant packs
+# two adjacent columns into the lane dim ON BOTH SIDES, making every dot
+# (M, 128k)@(128k, 128) at 1.33× FLOPs (the wpack zero-tap trick, but
+# executed inside a kernel where the data movement is ours, not the XLA
+# emitter's).
+#
+# Phases: a packed tensor is phase A when pair p holds original columns
+# (2p-1, 2p) — 257 pairs, W-pad baked in as zeros — and phase B when pair
+# p holds (2p, 2p+1) — 256 pairs. A 3-wide conv maps A→B and B→A with the
+# SAME kernel and the SAME packed weights (derivation in the docstring);
+# stages simply alternate phases, so chained convs need no relayout at
+# all. H padding is handled inside the kernel (zeroed halo rows at the
+# image borders).
+
+
+def pack_w_pair(w):
+    """(3, 3, Cin, Co) int8 → (3, 2, 2·Cin, 2·Co) packed pair weights.
+
+    View v=0 is the input pair at the output pair's own index, v=1 the
+    next one (phase-shift handled by slab provisioning, so the same
+    packing serves A→B and B→A):
+      out phase-lo: v0lo→w0 v0hi→w1 v1lo→w2
+      out phase-hi: v0hi→w0 v1lo→w1 v1hi→w2
+    """
+    import numpy as np
+
+    w = np.asarray(w)
+    kh, kw, ci, co = w.shape
+    assert (kh, kw) == (3, 3)
+    wp = np.zeros((3, 2, 2 * ci, 2 * co), w.dtype)
+    for dy in range(3):
+        wp[dy, 0, :ci, :co] = w[dy, 0]
+        wp[dy, 0, ci:, :co] = w[dy, 1]
+        wp[dy, 0, ci:, co:] = w[dy, 0]
+        wp[dy, 1, :ci, :co] = w[dy, 2]
+        wp[dy, 1, :ci, co:] = w[dy, 1]
+        wp[dy, 1, ci:, co:] = w[dy, 2]
+    return wp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("in_phase", "relu", "th", "interpret")
+)
+def qconv3x3_pair_requant(x, wp, a2, bias2, out_scale, *, in_phase="A",
+                          relu=True, th=8, interpret=None):
+    """Pair-packed int8 3×3 SAME conv + requant; A→B or B→A.
+
+    ``x``: (B, H, P, Cpk) int8 packed, H UNPADDED (halo rows zeroed
+    in-kernel). P = 257 (phase A, W-pad baked in) or 256 (phase B).
+    ``wp``: (3, 2, Cpk, 128) from :func:`pack_w_pair` (Cpk = 2·Cin).
+    ``a2``/``bias2``: (128,) f32 — per-out-channel dequant scale/bias in
+    PACKED order (tile2 of the 64-wide vectors). Returns packed output in
+    the opposite phase: (B, H, 256, 128) from A, (B, H, 257, 128) from B
+    (pad pairs zeroed).
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    bsz, h, p_in, cpk = x.shape
+    assert h % th == 0, (h, th)
+    nblk = h // th
+    a_phase_in = in_phase == "A"
+    # phase A = W/2+1 pairs (odd), phase B = W/2 pairs (even)
+    assert p_in % 2 == (1 if a_phase_in else 0), (p_in, in_phase)
+    p_out = p_in - 1 if a_phase_in else p_in + 1
+    co2 = wp.shape[3]
+    # slab width: A input is used as-is (views [p], [p+1]); a B input gets
+    # zero pairs at BOTH slab edges so views [q], [q+1] read B-pairs
+    # q-1, q for q = 0..p_out-1 (the last output pair's second view is
+    # past the image)
+    slab_p = p_in if a_phase_in else p_in + 2
+
+    def kernel(x_hbm, w_ref, a_ref, b_ref, os_ref, o_hbm,
+               xbuf, obuf, in_sem, out_sem):
+        b = pl.program_id(0)
+        dst0 = 0 if a_phase_in else 1  # B input lands at slab col 1
+
+        def in_dma(blk, slot, r0, nr, dst_r):
+            return pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(r0, nr)],
+                xbuf.at[slot, pl.ds(dst_r, nr), pl.ds(dst0, p_in)],
+                in_sem.at[slot],
+            )
+
+        def start_in(blk, slot):
+            # H-halo handling: first/last block read one fewer row; the
+            # missing halo row is zeroed at use time
+            @pl.when(blk == 0)
+            def _():
+                in_dma(blk, slot, 0, th + 1, 1).start()
+
+            @pl.when((blk > 0) & (blk < nblk - 1))
+            def _():
+                in_dma(blk, slot, blk * th - 1, th + 2, 0).start()
+
+            @pl.when((blk == nblk - 1) & (blk > 0))
+            def _():
+                in_dma(blk, slot, blk * th - 1, th + 1, 0).start()
+
+        def wait_in(blk, slot):
+            @pl.when((blk == 0) | (blk == nblk - 1))
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(0, th + 1)],
+                    xbuf.at[slot, pl.ds(0, th + 1), pl.ds(dst0, p_in)],
+                    in_sem.at[slot],
+                ).wait()
+
+            @pl.when((blk > 0) & (blk < nblk - 1))
+            def _():
+                pltpu.make_async_copy(
+                    x_hbm.at[b, pl.ds(0, th + 2)],
+                    xbuf.at[slot, pl.ds(0, th + 2), pl.ds(dst0, p_in)],
+                    in_sem.at[slot],
+                ).wait()
+
+        def out_dma(blk, slot):
+            return pltpu.make_async_copy(
+                obuf.at[slot],
+                o_hbm.at[b, pl.ds(blk * th, th)], out_sem.at[slot],
+            )
+
+        start_in(0, 0)
+        inv_os = 127.0 / os_ref[0, 0]
+
+        def body(blk, carry):
+            slot = blk % 2
+
+            @pl.when(blk + 1 < nblk)
+            def _():
+                start_in(blk + 1, (blk + 1) % 2)
+
+            wait_in(blk, slot)
+            # zero the halo rows / pad pair that the DMA did not write
+            @pl.when(blk == 0)
+            def _():
+                xbuf[slot, 0] = jnp.zeros((slab_p, cpk), jnp.int8)
+
+            @pl.when(blk == nblk - 1)
+            def _():
+                xbuf[slot, th + 1] = jnp.zeros((slab_p, cpk), jnp.int8)
+
+            if not a_phase_in:
+                xbuf[slot, :, 0] = jnp.zeros((th + 2, cpk), jnp.int8)
+                xbuf[slot, :, slab_p - 1] = jnp.zeros((th + 2, cpk),
+                                                      jnp.int8)
+
+            xw = xbuf[slot]                          # (th+2, slab_p, cpk)
+            acc = jnp.zeros((th, p_out, co2), jnp.int32)
+            for dy in range(3):
+                for v in range(2):
+                    acc = acc + lax.dot_general(
+                        xw[dy : dy + th, v : v + p_out, :],
+                        w_ref[dy, v],
+                        dimension_numbers=(((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+            y = acc.astype(jnp.float32) * a_ref[:] + b_ref[:]
+            if relu:
+                q = jnp.clip(jnp.round(jnp.maximum(y, 0.0) * inv_os),
+                             0, 127).astype(jnp.int8)
+            else:
+                q = jnp.clip(jnp.round(y * inv_os),
+                             -127, 127).astype(jnp.int8)
+            if not a_phase_in:
+                # phase-A output: zero the baked-in W pad columns
+                half = co2 // 2
+                q = q.at[:, 0, :half].set(0)
+                q = q.at[:, p_out - 1, half:].set(0)
+
+            @pl.when(blk >= 2)
+            def _():
+                out_dma(blk - 2, slot).wait()
+
+            obuf[slot] = q
+            out_dma(blk, slot).start()
+            return carry
+
+        lax.fori_loop(0, nblk, body, 0)
+
+        @pl.when(nblk >= 2)
+        def _():
+            out_dma(nblk - 2, (nblk - 2) % 2).wait()
+
+        out_dma(nblk - 1, (nblk - 1) % 2).wait()
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((3, 2, cpk, co2), lambda b: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((co2,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co2,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, p_out, co2), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((2, th + 2, slab_p, cpk), jnp.int8),
+            pltpu.VMEM((2, th, p_out, co2), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, wp, a2.astype(jnp.float32), bias2.astype(jnp.float32),
+      jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
+
+
+def to_phase_a(x):
+    """NHWC int8 (B, H, W, C) → phase-A packed (B, H, W/2+1, 2C).
+
+    Pair p holds original columns (2p-1, 2p); the W pad is baked in as
+    zeros. One XLA pad+reshape — the packed domain's entry relayout."""
+    b, h, w, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (0, 0), (1, 1), (0, 0)))
+    return xp.reshape(b, h, (w + 2) // 2, 2 * c)
+
+
+def from_phase_b(t):
+    """Phase-B packed (B, H, P, 2C) → NHWC (B, H, 2P, C) (plain reshape)."""
+    b, h, p, c2 = t.shape
+    return t.reshape(b, h, 2 * p, c2 // 2)
