@@ -120,3 +120,24 @@ def test_wpack_features_shape(qmodel):
     hp, s = unet_apply_quantized_features_wpack(q, imgs)
     assert hp.shape == (2, 32, 16, 16) and hp.dtype == jnp.int8
     assert s > 0
+
+
+def test_nhwc_megakernel_trunk_matches_concat_graph(qmodel):
+    """The mega-kernel trunk (infer/wpack.unet_apply_quantized_features_nhwc,
+    ops/nhwc_conv pair kernels in interpret mode on CPU) must produce the
+    same row/col logit maxima as the XLA concat graph — the s32 sums are
+    identical; the requant scale constant is computed once in f32 inside
+    the kernel vs f64-then-f32 in XLA, so allow a 1-ulp logit tolerance."""
+    from twinvoice_tpu.infer.wpack import unet_apply_quantized_nhwc_rowcol_max
+
+    q, rng = qmodel
+    imgs = jnp.asarray(rng.integers(0, 255, (2, 32, 32, 3), dtype=np.uint8))
+    logits = np.asarray(unet_apply_quantized(q, imgs, concat=True))
+    bias = np.asarray(q["out"]["bias"], np.float32)
+    row, col = unet_apply_quantized_nhwc_rowcol_max(q, imgs, th=8)
+    np.testing.assert_allclose(
+        np.asarray(row), (logits - bias).max(2), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(col), (logits - bias).max(1), rtol=1e-4, atol=1e-4
+    )

@@ -106,6 +106,7 @@ class Segmenter:
         use_pallas_head = int8_head == "pallas"
         use_wpack = bool(int8_wpack) and quantized
         wpack_mode = "enc" if int8_wpack == "enc" else "full"
+        use_nhwc = int8_wpack == "nhwc"  # ops/nhwc_conv mega-kernel trunk
 
         @partial(jax.jit, static_argnames=("return_masks",))
         def _run(folded, imgs_u8, orig_sizes, return_masks=True):
@@ -147,13 +148,19 @@ class Segmenter:
                 # full-lane convs at full res, packed 1×1 head, packed
                 # row/col max-reductions — logits never unpacked.
                 from twinvoice_tpu.infer.wpack import (
+                    unet_apply_quantized_nhwc_rowcol_max,
                     unet_apply_quantized_wpack_rowcol_max,
                 )
                 from twinvoice_tpu.ops.pallas_head import bbox_from_rowcol_max
 
-                row_max, col_max = unet_apply_quantized_wpack_rowcol_max(
-                    folded, imgs_u8, mode=wpack_mode
-                )
+                if use_nhwc:
+                    row_max, col_max = unet_apply_quantized_nhwc_rowcol_max(
+                        folded, imgs_u8
+                    )
+                else:
+                    row_max, col_max = unet_apply_quantized_wpack_rowcol_max(
+                        folded, imgs_u8, mode=wpack_mode
+                    )
                 thr_eff = logit_thr - folded["out"]["bias"].astype(jnp.float32)
                 gboxes, valid = bbox_from_rowcol_max(row_max, col_max, thr_eff)
                 boxes, ok = jax.vmap(

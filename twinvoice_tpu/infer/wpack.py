@@ -312,3 +312,127 @@ def unet_apply_quantized_wpack_rowcol_max(q, imgs_u8, logits_dtype=jnp.float32,
     b, p = cm6.shape[0], cm6.shape[1]
     col_max = cm6.reshape(b, 2 * p, co)                # (w,c) = (2p+dj, c)
     return row_max, col_max
+
+
+# ---------------------------------------------- mega-kernel packed trunk
+
+
+def unet_apply_quantized_features_nhwc(q, imgs_u8, th=8, interpret=None):
+    """Packed trunk with the full-res convs as ops/nhwc_conv pair
+    MEGA-KERNELS (grid=(B,), inner-loop DMA streaming) instead of XLA
+    convs; everything else identical to the wpack graph. Phases alternate
+    A→B through each conv so chained stages need zero relayouts:
+
+      stem (XLA) → to_phase_a → enc0 conv2 [kernel A→B] → packed pool
+      → interior XLA stages → up (packed-out transpose) ‖ skip (phase B)
+      → dec conv1 [kernel B→A] → dec conv2 [kernel A→B] → packed head
+
+    Returns (phase-B packed activations int8, dequant scale).
+    """
+    from twinvoice_tpu.ops import nhwc_conv as NC
+
+    xq = (imgs_u8 >> 1).astype(jnp.int8)
+    s = INPUT_SCALE
+    skips = []
+
+    e0 = q["enc"][0]
+    h = _requant(jax.nn.relu(_qconv(xq, s, e0["conv1"], _conv3x3_i8)), e0["s1"])
+    s = e0["s1"] / 127.0
+    c2 = e0["conv2"]
+    hp = NC.qconv3x3_pair_requant(
+        NC.to_phase_a(h), jnp.asarray(NC.pack_w_pair(c2["kernel"])),
+        s * tile2(c2["w_scale"]), tile2(c2["bias"]), e0["s2"],
+        in_phase="A", th=th, interpret=interpret,
+    )                                               # phase B packed
+    s = e0["s2"] / 127.0
+    skips.append((hp, s))
+    h = max_pool2_packed(hp)
+
+    for lq in q["enc"][1:]:
+        h, s = _q_double_conv(lq, h, s)
+        skips.append((h, s))
+        h = max_pool2(h)
+    h, s = _q_double_conv(q["bottleneck"], h, s)
+
+    last = len(q["dec"]) - 1
+    for j, (up_q, dec_q) in enumerate(zip(q["up"], q["dec"])):
+        skip, s_skip = skips[len(skips) - 1 - j]
+        if j < last:
+            up = jnp.asarray(
+                lax.conv_transpose(
+                    h, up_q["kernel"][::-1, ::-1], strides=(2, 2),
+                    padding="VALID",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32,
+                )
+            ).astype(jnp.float32) * (s * up_q["w_scale"])
+            if "bias" in up_q:
+                up = up + up_q["bias"]
+            upq = jnp.clip(
+                jnp.round(up * (127.0 / up_q["s_out"])), -127, 127
+            ).astype(jnp.int8)
+            s_up = up_q["s_out"] / 127.0
+            k1 = dec_q["conv1"]
+            hcat = jnp.concatenate([upq, skip], axis=-1)
+            part = _conv3x3_i8(hcat, {"kernel": k1["kernel"]}).astype(jnp.float32)
+            y = part * s_up * k1["w_scale"] + k1["bias"]
+            h = _requant(jax.nn.relu(y), dec_q["s1"])
+            s1 = dec_q["s1"] / 127.0
+            y2 = jax.nn.relu(_qconv(h, s1, dec_q["conv2"], _conv3x3_i8))
+            h = _requant(y2, dec_q["s2"])
+            s = dec_q["s2"] / 127.0
+        else:
+            up = conv_transpose2x2_pack_out_i8(h, up_q["kernel"]).astype(
+                jnp.float32
+            ) * (s * tile2(up_q["w_scale"]))
+            if "bias" in up_q:
+                up = up + tile2(up_q["bias"])
+            upq = jnp.clip(
+                jnp.round(up * (127.0 / up_q["s_out"])), -127, 127
+            ).astype(jnp.int8)                      # phase B packed
+            s_up = up_q["s_out"] / 127.0            # == s_skip
+            k1 = dec_q["conv1"]["kernel"]
+            c = up_q["kernel"].shape[3]
+            # packed concat: lanes [up_ph0|up_ph1|skip_ph0|skip_ph1]
+            tcat = jnp.concatenate([upq, skip], axis=-1)
+            wp1 = jnp.asarray(NC.pack_w_pair_multi(
+                [k1[:, :, :c], k1[:, :, c:]]))
+            ha = NC.qconv3x3_pair_requant(
+                tcat, wp1,
+                s_up * tile2(dec_q["conv1"]["w_scale"]),
+                tile2(dec_q["conv1"]["bias"]), dec_q["s1"],
+                in_phase="B", th=th, interpret=interpret,
+            )                                       # phase A packed
+            s1 = dec_q["s1"] / 127.0
+            wp2 = jnp.asarray(NC.pack_w_pair(dec_q["conv2"]["kernel"]))
+            hp = NC.qconv3x3_pair_requant(
+                ha, wp2,
+                s1 * tile2(dec_q["conv2"]["w_scale"]),
+                tile2(dec_q["conv2"]["bias"]), dec_q["s2"],
+                in_phase="A", th=th, interpret=interpret,
+            )                                       # phase B packed
+            s = dec_q["s2"] / 127.0
+            return hp, s
+    raise AssertionError("decoder must end at full resolution")
+
+
+def unet_apply_quantized_nhwc_rowcol_max(q, imgs_u8, th=8, interpret=None,
+                                         logits_dtype=jnp.float32):
+    """Box-only path on the mega-kernel trunk: packed 1×1 head + packed
+    row/col reductions (same contract as the wpack variant: bias-free
+    maxima, callers fold q['out']['bias'] into thresholds)."""
+    hp, s = unet_apply_quantized_features_nhwc(q, imgs_u8, th=th,
+                                               interpret=interpret)
+    w = q["out"]["kernel"][0, 0]
+    c, co = w.shape
+    wp = jnp.zeros((2 * c, 2 * co), jnp.float32)
+    wp = wp.at[:c, :co].set(w)
+    wp = wp.at[c:, co:].set(w)
+    hf = hp.astype(logits_dtype) * jnp.asarray(s, logits_dtype)
+    lp = conv1x1(hf, {"kernel": wp[None, None]}).astype(jnp.float32)
+    rm6 = jnp.max(lp, axis=2)
+    row_max = jnp.maximum(rm6[..., :co], rm6[..., co:])
+    cm6 = jnp.max(lp, axis=1)
+    b, p = cm6.shape[0], cm6.shape[1]
+    col_max = cm6.reshape(b, 2 * p, co)
+    return row_max, col_max

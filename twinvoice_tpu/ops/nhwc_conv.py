@@ -168,29 +168,40 @@ def pad_nhwc(x):
 # image borders).
 
 
-def pack_w_pair(w):
-    """(3, 3, Cin, Co) int8 → (3, 2, 2·Cin, 2·Co) packed pair weights.
+def pack_w_pair_multi(blocks):
+    """Packed pair weights for an input that is a LANE-CONCAT of packed
+    sources (e.g. the decoder's [up_ph0|up_ph1|skip_ph0|skip_ph1]).
 
-    View v=0 is the input pair at the output pair's own index, v=1 the
-    next one (phase-shift handled by slab provisioning, so the same
-    packing serves A→B and B→A):
+    ``blocks``: one (3, 3, Ci, Co) kernel per packed source, in lane
+    order. Returns (3, 2, 2·ΣCi, 2·Co). View v=0 is the input pair at the
+    output pair's own index, v=1 the next one (phase-shift handled by
+    slab provisioning, so the same packing serves A→B and B→A):
       out phase-lo: v0lo→w0 v0hi→w1 v1lo→w2
       out phase-hi: v0hi→w0 v1lo→w1 v1hi→w2
-    """
-    import numpy as np
 
-    w = np.asarray(w)
-    kh, kw, ci, co = w.shape
-    assert (kh, kw) == (3, 3)
-    wp = np.zeros((3, 2, 2 * ci, 2 * co), w.dtype)
-    for dy in range(3):
-        wp[dy, 0, :ci, :co] = w[dy, 0]
-        wp[dy, 0, ci:, :co] = w[dy, 1]
-        wp[dy, 0, ci:, co:] = w[dy, 0]
-        wp[dy, 1, :ci, :co] = w[dy, 2]
-        wp[dy, 1, :ci, co:] = w[dy, 1]
-        wp[dy, 1, ci:, co:] = w[dy, 2]
+    jnp throughout, so it can run at trace time inside a jitted graph
+    (the packing constant-folds / costs microseconds per call).
+    """
+    co = blocks[0].shape[3]
+    ci_tot = sum(k.shape[2] for k in blocks)
+    wp = jnp.zeros((3, 2, 2 * ci_tot, 2 * co), blocks[0].dtype)
+    ofs = 0
+    for k in blocks:
+        ci = k.shape[2]
+        lo, hi = ofs, ofs + ci
+        wp = wp.at[:, 0, lo : lo + ci, :co].set(k[:, 0])
+        wp = wp.at[:, 0, hi : hi + ci, :co].set(k[:, 1])
+        wp = wp.at[:, 0, hi : hi + ci, co:].set(k[:, 0])
+        wp = wp.at[:, 1, lo : lo + ci, :co].set(k[:, 2])
+        wp = wp.at[:, 1, lo : lo + ci, co:].set(k[:, 1])
+        wp = wp.at[:, 1, hi : hi + ci, co:].set(k[:, 2])
+        ofs += 2 * ci
     return wp
+
+
+def pack_w_pair(w):
+    """Single-source convenience wrapper over :func:`pack_w_pair_multi`."""
+    return pack_w_pair_multi([w])
 
 
 @functools.partial(
