@@ -107,3 +107,40 @@ def test_fusion_full_page_fallback_recovers_invoice_no(invoice):
     )
     meta2, _, _ = ex2.extract(img)
     assert meta2["invoice_no"] is None
+
+
+def test_textness_head_shapes_and_roundtrip(tmp_path):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from twinvoice_tpu.ocr.jaxocr import textness
+
+    p = textness.init_textness(jax.random.key(0))
+    assert textness.n_params(p) <= 100_000  # VERDICT r2 #8 budget
+    x = jnp.zeros((1, 64, 128, 1), jnp.float32)
+    assert textness.textness_apply(p, x).shape == (1, 16, 32, 1)
+
+    path = str(tmp_path / "t.npz")
+    textness.save_textness(path, p)
+    p2 = textness.load_textness(path)
+    for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(p2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert textness.load_textness(str(tmp_path / "missing.npz")) is None
+
+
+def test_detect_lines_learned_method(tmp_path, monkeypatch):
+    """A quickly-fitted head must drive detect_lines through the learned
+    path end-to-end (map → components → boxes)."""
+    import numpy as np
+
+    from twinvoice_tpu.ocr.jaxocr import detector, textness
+
+    params = textness.train(steps=60, bs=8, cache_batches=4, seed=1,
+                            log=lambda *a: None)
+    monkeypatch.setattr(detector, "_learned_params", params)
+    rng = np.random.default_rng(3)
+    gray, mask = textness.render_textpage(rng, 256, severity=0.0)
+    boxes = detector.detect_lines(gray, method="learned")
+    assert isinstance(boxes, list)  # runs end-to-end; quality is the
+    # train_textness.py A/B's job, not this smoke test's

@@ -71,6 +71,22 @@ def _textness_map(gray_u8, win=15, dil_w=13, dil_h=3):
     return dil
 
 
+_learned_params = "unset"
+
+
+def _learned():
+    """Lazily loaded learned textness params (None when not bundled)."""
+    global _learned_params
+    if _learned_params == "unset":
+        from twinvoice_tpu.ocr.jaxocr.textness import load_textness
+
+        try:
+            _learned_params = load_textness()
+        except Exception:
+            _learned_params = None
+    return _learned_params
+
+
 def detect_lines(
     image,
     *,
@@ -79,12 +95,19 @@ def detect_lines(
     min_h: int = 6,
     max_h_frac: float = 0.25,
     pad: int = 3,
+    method: str = "classical",
 ) -> List[Box]:
     """PIL image / ndarray → text-line boxes, top-to-bottom, left-to-right.
 
     Rejects blobs that are implausible as text lines: tiny specks, tall
     blocks (QR codes — those belong to the QR pipeline, app_camera.py:510),
     and full-page smears.
+
+    ``method``: "classical" (adaptive threshold + anisotropic dilation),
+    "learned" (the trained textness head, ocr/jaxocr/textness.py), or
+    "auto" (learned when its weights are bundled, else classical). The
+    A/B that decides the shipped default lives in
+    scripts/train_textness.py / docs/PERFORMANCE.md.
     """
     import cv2
 
@@ -92,12 +115,21 @@ def detect_lines(
     if arr.ndim == 3:
         arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
     h, w = arr.shape
-    # bucket the page shape to multiples of 64 (white-padded) so repeated
-    # calls across similar photo sizes reuse one compiled graph
-    hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
-    padded = np.full((hb, wb), 255, np.uint8)
-    padded[:h, :w] = arr
-    dil = np.asarray(_textness_map(padded[None]))[0, :h, :w].astype(np.uint8)
+    use_learned = method == "learned" or (method == "auto"
+                                          and _learned() is not None)
+    if use_learned:
+        from twinvoice_tpu.ocr.jaxocr.textness import textness_map
+
+        params = _learned()
+        assert params is not None, "learned textness weights not bundled"
+        dil = textness_map(arr, params).astype(np.uint8)
+    else:
+        # bucket the page shape to multiples of 64 (white-padded) so
+        # repeated calls across similar photo sizes reuse one compiled graph
+        hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
+        padded = np.full((hb, wb), 255, np.uint8)
+        padded[:h, :w] = arr
+        dil = np.asarray(_textness_map(padded[None]))[0, :h, :w].astype(np.uint8)
 
     n, labels, stats, _ = cv2.connectedComponentsWithStats(dil, connectivity=8)
     boxes: List[Box] = []
