@@ -41,7 +41,7 @@ def render_base(n, seed=0, stylize=0.8):
     from twinvoice_tpu.data.synthetic import render_invoice, train_fonts
 
     key = hashlib.md5(
-        f"synthbase-v3-{n}-{seed}-{stylize}".encode()
+        f"synthbase-v4-{n}-{seed}-{stylize}".encode()
     ).hexdigest()[:10]
     cache = f"/tmp/synth_base_{key}.npz"
     if os.path.exists(cache):

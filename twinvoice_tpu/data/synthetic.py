@@ -168,9 +168,13 @@ def _draw_stylized_value(img, text, font, xy, line_h, rng, stylize):
     if len(xs) == 0:  # degenerate; fall back to plain drawing
         ImageDraw.Draw(img).text((x, y), text, fill=(20, 20, 20), font=font)
         return (x, y, int(x + font.getlength(text)), y + line_h)
-    y0i, y1i = ys.min(), ys.max() + 1
+    # Crop columns to the ink extent but KEEP the legacy vertical band
+    # (rows pad..pad+line_h ↔ image rows y..y+line_h): the ground-truth
+    # convention everywhere else is (x, y, x+text_width, y+line_h) — the
+    # r3 first cut returned tight-ink boxes and every downstream IoU
+    # silently dropped ~0.3 from the convention mismatch alone.
     x0i, x1i = xs.min(), xs.max() + 1
-    t = t[y0i:y1i, x0i:x1i]
+    t = t[pad : pad + line_h, x0i:x1i]
     # composite: multiply ink onto the (noisy paper) background
     region = np.asarray(img.crop((x, y, x + t.shape[1], y + t.shape[0])))
     if region.shape[:2] != t.shape:  # clipped at the page edge
