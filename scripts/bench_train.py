@@ -19,6 +19,15 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+if "--dp-sweep" in sys.argv:
+    # the DP curve runs on virtual CPU devices (no multi-chip hardware on
+    # this box) — force the platform before jax initializes any backend
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + " --xla_force_host_platform_device_count=8"
+    )
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -66,6 +75,52 @@ def bench(dtype_name, batch, iters=6, remat=False):
     return row
 
 
+def dp_sweep(iters=3, batch=8, grid=256, width=16):
+    """DP scaling curve over 1/2/4/8 virtual CPU devices (VERDICT r2 #6).
+
+    Fixed GLOBAL batch, sharded over the mesh 'data' axis, so the curve
+    isolates the pjit partitioning + grad-psum overhead. All devices share
+    this box's single physical core, so absolute img/s is meaningless and
+    ideal scaling is FLAT ms/step; reported as ms/step + overhead vs the
+    1-device row.
+    """
+    from twinvoice_tpu.config import MeshConfig, TrainConfig, UNetConfig
+    from twinvoice_tpu.core.mesh import make_mesh
+    from twinvoice_tpu.models.unet import init_unet
+    from twinvoice_tpu.train.trainer import (
+        TrainState, make_optimizer, make_train_step, shard_train_state)
+
+    mcfg = UNetConfig(base_width=width)
+    tcfg = TrainConfig(batch_size=batch, dtype="float32")
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (batch, grid, grid, 3)), jnp.float32)
+    y = jnp.asarray((rng.uniform(size=(batch, grid, grid, 3)) > 0.9),
+                    jnp.float32)
+    base = None
+    for nd in (1, 2, 4, 8):
+        mesh = make_mesh(MeshConfig(data=nd), devices=jax.devices()[:nd])
+        params, bn = init_unet(jax.random.key(0), mcfg)
+        opt = make_optimizer(tcfg)
+        state = shard_train_state(TrainState(params, bn, opt.init(params)), mesh)
+        step = make_train_step(mcfg, tcfg, opt, mesh=mesh)
+        lr = jnp.float32(1e-3)
+        p, b, o, loss = step(state.params, state.bn_state, state.opt_state,
+                             x, y, lr)
+        float(loss)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            p, b, o, loss = step(p, b, o, x, y, lr)
+            float(loss)
+        dt = (time.perf_counter() - t0) / iters
+        base = base or dt
+        print(json.dumps({
+            "devices": nd, "global_batch": batch, "grid": grid,
+            "width": width, "ms_per_step": round(dt * 1e3, 1),
+            "overhead_vs_1dev": round(dt / base - 1, 3),
+            "loss": round(float(loss), 5),
+        }), flush=True)
+
+
 def main(iters=6, sweep=False):
     if sweep:
         # VERDICT r2 #6: batch scaling to the OOM edge, MFU per point,
@@ -91,4 +146,7 @@ def main(iters=6, sweep=False):
 
 if __name__ == "__main__":
     it = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 6
-    main(it, sweep="--sweep" in sys.argv)
+    if "--dp-sweep" in sys.argv:
+        dp_sweep(it if it != 6 else 3)
+    else:
+        main(it, sweep="--sweep" in sys.argv)

@@ -122,3 +122,26 @@ def test_remat_train_step_matches_plain():
                                                 rtol=1e-4, atol=1e-6),
         g0, g1,
     )
+
+
+def test_prefetch_matches_synchronous(tmp_path):
+    """Async prefetch + deferred loss sync must not change training math:
+    same data order (one shared rng stream), bit-same loss history."""
+    ds = synthetic_dataset(n=8, size=32)
+    base = tiny_config(tmp_path, epochs=2)
+    runs = {}
+    for pf in (0, 2):
+        cfg = replace(base, train=replace(
+            base.train, prefetch=pf, visualize=False,
+            checkpoint_dir=str(tmp_path / f"ck{pf}")))
+        _, history = trainer.fit(ds, cfg, log=lambda *_: None)
+        runs[pf] = [h["loss"] for h in history]
+    np.testing.assert_allclose(runs[0], runs[2], rtol=1e-6)
+
+
+def test_sync_every_bounds_dispatch(tmp_path):
+    ds = synthetic_dataset(n=8, size=32)
+    cfg = tiny_config(tmp_path, epochs=1)
+    cfg = replace(cfg, train=replace(cfg.train, sync_every=1, visualize=False))
+    _, history = trainer.fit(ds, cfg, log=lambda *_: None)
+    assert len(history) == 1 and np.isfinite(history[0]["loss"])

@@ -1,19 +1,30 @@
-"""NHWC int8 conv mega-kernels: few grid steps, inner-loop DMA streaming.
+"""NHWC int8 conv mega-kernels: contiguous row-slab streaming.
 
 Round-3 attribution (docs/PERFORMANCE.md) showed every round-2 Pallas
 kernel was bound by ~10-22 µs of fixed per-grid-step/per-strided-DMA
 overhead (three different kernels, one law: wall ≈ steps × overhead), not
-by compute or memory bandwidth. These kernels restructure the same conv
-math to dodge both:
+by compute or memory bandwidth. The fix is streaming CONTIGUOUS row
+slabs: an NHWC row is one 32 KB strip, where the old frame-format halo
+windows were 192 tiny strided strips per tile — that's where the "85 ms
+floor" actually lived.
 
-- grid = (B,) — 128 steps for the flagship shape, so step dispatch
-  overhead is ~1 ms total instead of 40-90 ms;
-- the kernel streams CONTIGUOUS row slabs (an NHWC row is one 32 KB
-  strip; the old frame-format halo windows were 192 tiny strided strips
-  per tile — that's where the "85 ms floor" actually lived) through a
-  2-slot VMEM ring with ``pltpu.make_async_copy``, double-buffered in
-  AND out, with an inner ``fori_loop`` over row blocks;
-- requant epilogue fused in-kernel (s32 never reaches HBM).
+Two generations live here:
+
+- ``qconv3x3_*_dma`` — grid=(B,) with an inner ``fori_loop`` driving a
+  hand-rolled 2-slot ``make_async_copy`` ring. Bit-exact in interpret
+  mode, but **this toolchain's libtpu AOT compiler crashes on any
+  make_async_copy inside a fori_loop** (bisected in
+  scripts/mosaic_bisect.py: P1/P4/P5 compile, P2/P3/P6/P7 — every
+  manual-DMA-in-loop topology — kill the compile helper with no
+  message). Kept as the measured dead-end map.
+- ``qconv3x3_nhwc_requant`` / ``qconv3x3_pair_requant`` — the shipping
+  ROLLING-CARRY design: grid=(B, H/th + 1) with plain blocked (auto
+  double-buffered) windows, NO manual DMA, NO halo overlap. The kernel
+  keeps the previous row-block plus a one-row carry in VMEM scratch
+  (scratch persists across the sequential grid), so step j assembles the
+  halo slab for output block j-1 as carry ++ prev ++ cur[0]. One wasted
+  step per image (j=0 primes the scratch; its output block is
+  overwritten at j=1 — a *consecutive* revisit, which Pallas allows).
 
 Reference parity: computes exactly the reference's full-res DoubleConv
 convs (unet_model.py:29-32) in the int8 serving quantization scheme
@@ -38,9 +49,10 @@ def _interpret_default():
 @functools.partial(
     jax.jit, static_argnames=("relu", "th", "interpret")
 )
-def qconv3x3_nhwc_requant(x_pad, w, a, bias, out_scale, *, relu=True,
+def qconv3x3_nhwc_dma(x_pad, w, a, bias, out_scale, *, relu=True,
                           th=8, interpret=None):
-    """int8 3×3 SAME conv + requant on NHWC, streaming row slabs.
+    """DEAD END on this toolchain (see module docstring): int8 3×3 SAME
+    conv + requant on NHWC via an in-loop manual DMA ring.
 
     ``x_pad``: (B, H+2, W+2, C) int8 — the caller zero-pads H and W by 1
     (in XLA; the pad fuses with the producer or costs one cheap copy).
@@ -150,6 +162,83 @@ def pad_nhwc(x):
     return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("relu", "th", "interpret")
+)
+def qconv3x3_nhwc_requant(x_pad, w, a, bias, out_scale, *, relu=True,
+                          th=8, interpret=None):
+    """int8 3×3 SAME conv + requant on NHWC — rolling-carry streaming.
+
+    Same contract as :func:`qconv3x3_nhwc_dma` (``x_pad`` is the H- and
+    W-padded input), but built only from toolchain-proven pieces: grid
+    (B, H/th + 1) with blocked auto-double-buffered windows; the halo
+    slab for output block j-1 is assembled at step j from VMEM-scratch
+    state (previous block + one carry row) plus the current block's first
+    row. See module docstring.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    bsz, hp, wp, c = x_pad.shape
+    h, wdt = hp - 2, wp - 2
+    co = w.shape[3]
+    assert h % th == 0, (h, th)
+    nblk = h // th
+    x = x_pad[:, 1:-1]  # drop the H pad; the carry scheme re-derives it
+
+    def kernel(x_ref, w_ref, a_ref, b_ref, os_ref, o_ref, prev, carry):
+        j = pl.program_id(1)
+        cur = x_ref[0]                           # (th, W+2, C)
+        inv_os = 127.0 / os_ref[0, 0]
+        # bottom halo row: zero on the drain step, else cur's first row
+        first = jnp.where(j == nblk, jnp.zeros_like(cur[:1]), cur[:1])
+        slab = jnp.concatenate([carry[...], prev[...], first], axis=0)
+        acc = jnp.zeros((th, wdt, co), jnp.int32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + lax.dot_general(
+                    slab[dy : dy + th, dx : dx + wdt, :],
+                    w_ref[dy, dx],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+        y = acc.astype(jnp.float32) * a_ref[:] + b_ref[:]
+        if relu:
+            q = jnp.clip(jnp.round(jnp.maximum(y, 0.0) * inv_os),
+                         0, 127).astype(jnp.int8)
+        else:
+            q = jnp.clip(jnp.round(y * inv_os), -127, 127).astype(jnp.int8)
+        o_ref[0] = q
+        # scratch rollover (read prev's last row BEFORE overwriting prev);
+        # j=0 primes carry with the zero top-halo row
+        prev_last = prev[th - 1 : th]
+        carry[...] = jnp.where(j == 0, jnp.zeros_like(prev_last), prev_last)
+        prev[...] = cur
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, nblk + 1),
+        in_specs=[
+            pl.BlockSpec((1, th, wp, c),
+                         lambda b, j: (b, jnp.minimum(j, nblk - 1), 0, 0)),
+            pl.BlockSpec((3, 3, c, co), lambda b, j: (0, 0, 0, 0)),
+            pl.BlockSpec((co,), lambda b, j: (0,)),
+            pl.BlockSpec((co,), lambda b, j: (0,)),
+            pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, wdt, co),
+            lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, wdt, co), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((th, wp, c), jnp.int8),
+            pltpu.VMEM((1, wp, c), jnp.int8),
+        ],
+        interpret=interpret,
+    )(x, w, a.astype(jnp.float32), bias.astype(jnp.float32),
+      jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
+
+
 # ------------------------------------------------- pair-packed mega-kernel
 #
 # The v1 kernel above fixes the DMA/dispatch overhead but its tap-dots are
@@ -207,9 +296,10 @@ def pack_w_pair(w):
 @functools.partial(
     jax.jit, static_argnames=("in_phase", "relu", "th", "interpret")
 )
-def qconv3x3_pair_requant(x, wp, a2, bias2, out_scale, *, in_phase="A",
+def qconv3x3_pair_dma(x, wp, a2, bias2, out_scale, *, in_phase="A",
                           relu=True, th=8, interpret=None):
-    """Pair-packed int8 3×3 SAME conv + requant; A→B or B→A.
+    """DEAD END on this toolchain (see module docstring): pair-packed
+    int8 3×3 SAME conv + requant via an in-loop manual DMA ring; A→B or B→A.
 
     ``x``: (B, H, P, Cpk) int8 packed, H UNPADDED (halo rows zeroed
     in-kernel). P = 257 (phase A, W-pad baked in) or 256 (phase B).
@@ -328,10 +418,15 @@ def qconv3x3_pair_requant(x, wp, a2, bias2, out_scale, *, in_phase="A",
                 q = jnp.clip(jnp.round(y * inv_os),
                              -127, 127).astype(jnp.int8)
             if not a_phase_in:
-                # phase-A output: zero the baked-in W pad columns
+                # phase-A output: zero the baked-in W pad columns.
+                # (iota+where, NOT .at[].set — the jnp update lowers to
+                # scatter, which Mosaic cannot lower inside a kernel)
                 half = co2 // 2
-                q = q.at[:, 0, :half].set(0)
-                q = q.at[:, p_out - 1, half:].set(0)
+                pair_i = lax.broadcasted_iota(jnp.int32, q.shape, 1)
+                ch_i = lax.broadcasted_iota(jnp.int32, q.shape, 2)
+                pad_mask = ((pair_i == 0) & (ch_i < half)) | (
+                    (pair_i == p_out - 1) & (ch_i >= half))
+                q = jnp.where(pad_mask, jnp.int8(0), q)
 
             @pl.when(blk >= 2)
             def _():
@@ -367,6 +462,94 @@ def qconv3x3_pair_requant(x, wp, a2, bias2, out_scale, *, in_phase="A",
             pltpu.VMEM((2, th, p_out, co2), jnp.int8),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(x, wp, a2.astype(jnp.float32), bias2.astype(jnp.float32),
+      jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("in_phase", "relu", "th", "interpret")
+)
+def qconv3x3_pair_requant(x, wp, a2, bias2, out_scale, *, in_phase="A",
+                          relu=True, th=8, interpret=None):
+    """Pair-packed int8 3×3 SAME conv + requant; A→B or B→A.
+
+    Rolling-carry edition of :func:`qconv3x3_pair_dma` (same contract):
+    ``x`` (B, H, P, Cpk) int8 packed with H unpadded; returns the packed
+    output in the opposite phase. Grid (B, H/th + 1), blocked windows,
+    halo from VMEM-scratch carry — no manual DMA, no scatter (the B→A
+    pad-column zeroing is an iota mask). See module docstring.
+    """
+    if interpret is None:
+        interpret = _interpret_default()
+    bsz, h, p_in, cpk = x.shape
+    assert h % th == 0, (h, th)
+    nblk = h // th
+    a_phase_in = in_phase == "A"
+    assert p_in % 2 == (1 if a_phase_in else 0), (p_in, in_phase)
+    p_out = p_in - 1 if a_phase_in else p_in + 1
+    co2 = wp.shape[3]
+
+    def kernel(x_ref, w_ref, a_ref, b_ref, os_ref, o_ref, prev, carry):
+        j = pl.program_id(1)
+        cur = x_ref[0]                           # (th, p_in, cpk)
+        inv_os = 127.0 / os_ref[0, 0]
+        first = jnp.where(j == nblk, jnp.zeros_like(cur[:1]), cur[:1])
+        slab = jnp.concatenate([carry[...], prev[...], first], axis=0)
+        if not a_phase_in:
+            # B input: zero pair columns at BOTH slab edges so views
+            # [v : v+p_out] read B-pairs v-1, v (W halo in the pair dim)
+            zcol = jnp.zeros((th + 2, 1, cpk), jnp.int8)
+            slab = jnp.concatenate([zcol, slab, zcol], axis=1)
+        acc = jnp.zeros((th, p_out, co2), jnp.int32)
+        for dy in range(3):
+            for v in range(2):
+                acc = acc + lax.dot_general(
+                    slab[dy : dy + th, v : v + p_out, :],
+                    w_ref[dy, v],
+                    dimension_numbers=(((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+        y = acc.astype(jnp.float32) * a_ref[:] + b_ref[:]
+        if relu:
+            q = jnp.clip(jnp.round(jnp.maximum(y, 0.0) * inv_os),
+                         0, 127).astype(jnp.int8)
+        else:
+            q = jnp.clip(jnp.round(y * inv_os), -127, 127).astype(jnp.int8)
+        if not a_phase_in:
+            # phase-A output: zero the baked-in W pad columns (iota+where;
+            # .at[].set would lower to scatter, which Mosaic rejects)
+            half = co2 // 2
+            pair_i = lax.broadcasted_iota(jnp.int32, q.shape, 1)
+            ch_i = lax.broadcasted_iota(jnp.int32, q.shape, 2)
+            pad_mask = ((pair_i == 0) & (ch_i < half)) | (
+                (pair_i == p_out - 1) & (ch_i >= half))
+            q = jnp.where(pad_mask, jnp.int8(0), q)
+        o_ref[0] = q
+        prev_last = prev[th - 1 : th]
+        carry[...] = jnp.where(j == 0, jnp.zeros_like(prev_last), prev_last)
+        prev[...] = cur
+
+    return pl.pallas_call(
+        kernel,
+        grid=(bsz, nblk + 1),
+        in_specs=[
+            pl.BlockSpec((1, th, p_in, cpk),
+                         lambda b, j: (b, jnp.minimum(j, nblk - 1), 0, 0)),
+            pl.BlockSpec((3, 2, cpk, co2), lambda b, j: (0, 0, 0, 0)),
+            pl.BlockSpec((co2,), lambda b, j: (0,)),
+            pl.BlockSpec((co2,), lambda b, j: (0,)),
+            pl.BlockSpec((1, 1), lambda b, j: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, th, p_out, co2),
+            lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, p_out, co2), jnp.int8),
+        scratch_shapes=[
+            pltpu.VMEM((th, p_in, cpk), jnp.int8),
+            pltpu.VMEM((1, p_in, cpk), jnp.int8),
         ],
         interpret=interpret,
     )(x, wp, a2.astype(jnp.float32), bias2.astype(jnp.float32),

@@ -116,6 +116,44 @@ def make_eval_step(model_cfg: UNetConfig, cfg: TrainConfig, thresholds=(0.25, 0.
     return step
 
 
+def _prefetch_batches(gen, size, dtype):
+    """Run a host batch generator on a worker thread, ``size`` batches ahead.
+
+    The worker also performs the host→device transfer (``jnp.asarray``), so
+    augmentation + H2D overlap with the device's compute on the previous
+    steps. ``size=0`` degrades to the synchronous path. Batch order is the
+    generator's own — identical losses either way (pinned by
+    tests/unit/test_trainer.py).
+    """
+    if size <= 0:
+        for images, masks in gen:
+            yield jnp.asarray(images, dtype), jnp.asarray(masks, dtype)
+        return
+    import queue as _queue
+    import threading
+
+    q: "_queue.Queue" = _queue.Queue(maxsize=size)
+    _END, _ERR = object(), object()
+
+    def worker():
+        try:
+            for images, masks in gen:
+                q.put((jnp.asarray(images, dtype), jnp.asarray(masks, dtype)))
+            q.put(_END)
+        except BaseException as e:  # surface loader errors on the main thread
+            q.put((_ERR, e))
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, tuple) and item[0] is _ERR:
+            raise item[1]
+        yield item
+
+
 def fit(
     dataset,
     cfg: Config = Config(),
@@ -163,17 +201,21 @@ def fit(
 
     for epoch in range(state.epoch + 1, tcfg.epochs + 1):
         t0 = time.time()
-        total, nb = 0.0, 0
+        losses, nb = [], 0
         lr = jnp.asarray(schedule(epoch - 1), jnp.float32)
-        for bi, (images, masks) in enumerate(
-            dataset.batches(tcfg.batch_size, rng=loader_rng, dtype=np.float32)
-        ):
-            images = jnp.asarray(images, dtype)
-            masks = jnp.asarray(masks, dtype)
+        for bi, (images, masks) in enumerate(_prefetch_batches(
+            dataset.batches(tcfg.batch_size, rng=loader_rng, dtype=np.float32),
+            tcfg.prefetch, dtype,
+        )):
             state.params, state.bn_state, state.opt_state, loss = train_step(
                 state.params, state.bn_state, state.opt_state, images, masks, lr
             )
-            total += float(loss)
+            # keep the loss on-device: syncing here would serialize dispatch
+            # against the host loop (one epoch-end sync instead, or every
+            # ``sync_every`` steps to bound dispatch run-ahead)
+            losses.append(loss)
+            if tcfg.sync_every and (bi + 1) % tcfg.sync_every == 0:
+                jax.block_until_ready(loss)
             nb += 1
             if bi == 0 and tcfg.visualize:
                 from twinvoice_tpu.train.visualize import dump_epoch_visual
@@ -184,7 +226,7 @@ def fit(
                     state.params, state.bn_state, mcfg,
                     tcfg.visualize_dir, f"epoch{epoch:03d}",
                 )
-        avg = total / max(nb, 1)
+        avg = float(jnp.mean(jnp.stack(losses))) if losses else 0.0
         state.epoch = epoch
         rec = {"epoch": epoch, "loss": avg, "lr": float(lr), "sec": time.time() - t0}
         if val_set is not None and len(val_set):
