@@ -53,9 +53,12 @@ def main(n=32, use_qr=True):
 
     results = ex.extract_batch(imgs)  # warm: compiles + caches
     ex.clear_cache()
+    from twinvoice_tpu.utils.tracing import get_timer
+    get_timer().reset()
     t0 = time.perf_counter()
     results = ex.extract_batch(imgs)
     dt = time.perf_counter() - t0
+    print(get_timer().report())
 
     hits = {"invoice_no": 0, "date": 0, "amount": 0}
     for (meta, _, _), (_, inv_no, date, amount) in zip(results, cases):

@@ -19,9 +19,10 @@ class StubSeg:
         self.single_calls += 1
         return {}, dict(self._crops)
 
-    def segment_pil_batch(self, ims):
+    def segment_pil_batch(self, ims, *, return_masks=True):
         self.batch_calls += 1
-        return [({}, dict(self._crops)) for _ in ims]
+        masks = {} if return_masks else None
+        return [(masks, dict(self._crops)) for _ in ims]
 
 
 class StubQr:

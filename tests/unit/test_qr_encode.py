@@ -64,3 +64,44 @@ def test_pipeline_scans_rendered_invoice():
     payloads = QrPipeline(decoders=[opencv_decode]).scan(img)
     assert any("AB12345678" in p for p in payloads)
     assert any(p.startswith("**") for p in payloads)
+
+
+def test_pipeline_keeps_short_item_qr():
+    """A TW item ('**') QR is often < min_len chars; the reference's meta
+    classifier accepts any '**' string (app_camera.py:118), so scan must
+    keep it — dropping it loses the item list AND defeats the 2-payload
+    early stop."""
+    from twinvoice_tpu.data.synthetic import render_invoice
+
+    img, _ = render_invoice(
+        "AB12345678", "2024-01-02", 123,
+        items=[{"name": "茶", "qty": 1, "price": 123}], size=(460, 660),
+        seed=42)
+    payloads = QrPipeline().scan(img)
+    short_item = [p for p in payloads if p.startswith("**")]
+    assert short_item and len(short_item[0]) < 20
+    assert len(payloads) == 2
+
+
+def test_detect_downscales_large_frames():
+    """Frames over _DETECT_MAX_DIM detect on a downscale; boxes must come
+    back in full-resolution coordinates and still cover both QRs."""
+    from PIL import Image
+
+    from twinvoice_tpu.data.synthetic import render_invoice
+    from twinvoice_tpu.qr.detect import detect_qr_regions
+
+    img, _ = render_invoice("AB12345678", "2024-01-02", 123,
+                            items=[{"name": "茶", "qty": 1, "price": 123}],
+                            size=(500, 700), seed=43)
+    canvas = Image.new("RGB", (1000, 1400), (255, 255, 255))
+    canvas.paste(img.resize((1000, 1400)), (0, 0))
+    rgb = np.asarray(canvas)
+    boxes = detect_qr_regions(rgb)
+    assert len(boxes) >= 2
+    # decode from the full-res crops located by the downscaled pass
+    qr = QrPipeline()
+    texts = []
+    for (x1, y1, x2, y2) in boxes:
+        texts += qr._decode_all(rgb[y1:y2, x1:x2])
+    assert any("AB12345678" in t for t in texts)

@@ -318,8 +318,12 @@ class InvoiceExtractor:
         try:
             with trace_span("fusion.segment"):
                 if hasattr(self.segmenter, "segment_pil_batch"):
+                    # return_masks=False: extraction only reads the crops,
+                    # and the batch-32 mask tensor is ~25 MB of device→host
+                    # transfer we'd fetch just to drop
                     all_crops = [
-                        c for _, c in self.segmenter.segment_pil_batch(imgs)
+                        c for _, c in self.segmenter.segment_pil_batch(
+                            imgs, return_masks=False)
                     ]
                 else:
                     all_crops = []

@@ -284,25 +284,37 @@ class Segmenter:
             return self._run_from_raw(self._serve_params, imgs_u8, orig_sizes)
         return self._run(self._serve_params, imgs_u8, orig_sizes, return_masks=return_masks)
 
-    def segment_pil_batch(self, pil_images):
+    def segment_pil_batch(self, pil_images, *, return_masks=True):
         """Batched PIL path: ONE device call segments all images; crops are
         sliced per image on host. Returns a list of (masks, crops) pairs
         matching :meth:`segment_pil`'s contract (used by
-        fusion.InvoiceExtractor.extract_batch)."""
+        fusion.InvoiceExtractor.extract_batch).
+
+        ``return_masks=False`` skips the mask fetch entirely: at batch 32
+        the (B, S, S, 3) bool mask tensor is ~25 MB of device→host
+        transfer that bulk extraction never reads (it only uses crops) —
+        only the (B, 3, 4) boxes come back. Masks are then ``None``.
+        """
         size = self.cfg.img_size
         arrs = np.stack([
             np.asarray(im.convert("RGB").resize((size, size)), np.uint8)
             for im in pil_images
         ])
         sizes = np.asarray([im.size for im in pil_images], np.int32)  # (ow, oh)
-        mask, boxes, ok = self._run(self._serve_params, jnp.asarray(arrs), jnp.asarray(sizes))
-        mask = np.asarray(mask)
+        mask, boxes, ok = self._run(self._serve_params, jnp.asarray(arrs),
+                                    jnp.asarray(sizes),
+                                    return_masks=return_masks)
+        if return_masks:
+            mask = np.asarray(mask)
         boxes = np.asarray(boxes)
         ok = np.asarray(ok)
 
         out = []
         for bi, pil_img in enumerate(pil_images):
-            masks = {f: mask[bi, :, :, i] for i, f in enumerate(FIELDS)}
+            masks = (
+                {f: mask[bi, :, :, i] for i, f in enumerate(FIELDS)}
+                if return_masks else None
+            )
             crops = {}
             for i, f in enumerate(FIELDS):
                 if not ok[bi, i]:

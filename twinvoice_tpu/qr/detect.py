@@ -15,6 +15,7 @@ no temp files:
 
 from __future__ import annotations
 
+import threading
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -25,12 +26,58 @@ MIN_PAYLOAD_LEN = 20  # reference keeps only >20-char strings (app_camera.py:542
 
 
 def detect_qr_regions(rgb: np.ndarray) -> List[Tuple[int, int, int, int]]:
-    """Locate likely QR bounding boxes (x1, y1, x2, y2) in an RGB array."""
+    """Locate likely QR bounding boxes (x1, y1, x2, y2) in an RGB array.
+
+    Detection (finder-pattern search) tolerates far lower resolution than
+    decoding, so frames wider than ``_DETECT_MAX_DIM`` are first scanned at
+    a downscale (~4× cheaper on the host — the bulk-extraction path is
+    host-CPU-bound, docs/PERFORMANCE.md). If the cheap pass finds fewer
+    than 2 boxes (a TW invoice has exactly 2 QRs) the full-resolution scan
+    runs as before, so accuracy cannot regress. Boxes are always in
+    full-resolution coordinates; decode reads the original pixels.
+    """
     import cv2
 
     gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+    scale = max(gray.shape) / float(_DETECT_MAX_DIM)
+    if scale > 1.0:
+        small = cv2.resize(
+            gray, (int(gray.shape[1] / scale), int(gray.shape[0] / scale)),
+            interpolation=cv2.INTER_AREA)
+        boxes = _detect_gray(small, cv2)
+        if len(boxes) >= 2:
+            return [
+                (int(x1 * scale), int(y1 * scale),
+                 min(int(x2 * scale + 1), gray.shape[1]),
+                 min(int(y2 * scale + 1), gray.shape[0]))
+                for (x1, y1, x2, y2) in boxes
+            ]
+    return _detect_gray(gray, cv2)
+
+
+# only downscale genuinely large frames (phone photos): a TW invoice QR is
+# roughly a quarter of the invoice width, and detectMulti needs ~2 px per
+# module — below ~800 px frames the downscaled pass starts missing QRs and
+# the full-res fallback makes detection *slower*, not faster (measured)
+_DETECT_MAX_DIM = 800
+
+
+_TLS = threading.local()
+
+
+def _detector(cv2):
+    # constructing cv2.QRCodeDetector costs ~14 ms on this box — reuse one
+    # per thread (extract_batch scans from a thread pool; cv2 detectors are
+    # not documented thread-safe, so no sharing across threads)
+    det = getattr(_TLS, "qr_detector", None)
+    if det is None:
+        det = _TLS.qr_detector = cv2.QRCodeDetector()
+    return det
+
+
+def _detect_gray(gray, cv2) -> List[Tuple[int, int, int, int]]:
     boxes = []
-    detector = cv2.QRCodeDetector()
+    detector = _detector(cv2)
     try:
         ok, points = detector.detectMulti(gray)
     except cv2.error:
@@ -67,7 +114,7 @@ def opencv_decode(rgb: np.ndarray) -> List[str]:
     import cv2
 
     gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY) if rgb.ndim == 3 else rgb
-    det = cv2.QRCodeDetector()
+    det = _detector(cv2)
     out: List[str] = []
     try:
         ok, texts, _, _ = det.detectAndDecodeMulti(gray)
@@ -125,34 +172,57 @@ class QrPipeline:
         return out
 
     def scan(self, image) -> List[str]:
-        """``image``: PIL.Image or RGB ndarray → unique payloads ≥ min_len.
+        """``image``: PIL.Image or RGB ndarray → unique payloads.
 
         Scans detected regions, the full frame, and (because a TW invoice
         carries TWO side-by-side QRs that multi-detectors often half-miss)
-        the left/right halves as separate tiles.
+        the left/right halves as separate tiles. Candidates are built
+        LAZILY so the early stop skips the enhance/slice work too.
+
+        A payload survives if it is ≥ min_len OR starts with ``**`` — the
+        TW e-invoice *item* QR is frequently shorter than 20 chars and the
+        reference's meta classifier treats any ``**`` string as the item
+        QR (app_camera.py:118) even though its ZXing shell path drops
+        short strings (app_camera.py:542); without this the early stop
+        never fires and every scan pays the full-frame + half-tile passes.
         """
         import cv2
 
         rgb = np.asarray(image.convert("RGB") if hasattr(image, "convert") else image)
-        candidates = []
-        for (x1, y1, x2, y2) in detect_qr_regions(rgb):
-            candidates.append(enhance_qr_region(rgb[y1:y2, x1:x2]))
-        candidates.append(rgb)
-        w = rgb.shape[1]
-        candidates.append(rgb[:, : w // 2])
-        candidates.append(rgb[:, w // 2 :])
-        if not candidates[0:1]:  # pragma: no cover - defensive
-            candidates.append(rgb)
+
+        def candidates():
+            # full frame FIRST: the native decoder's own finder scan reads
+            # both QRs of a clean invoice in one pass, cheaper than a
+            # cv2.detectMulti region pass alone — the common bulk case
+            # never pays for detection. The detect → raw crop → enhanced
+            # crop cascade is the fallback for hard (photo/blur) frames;
+            # raw crops come before enhanced ones because a clean crop
+            # decodes in ~2 ms where the 3×-upscaled copy costs ~20 ms.
+            yield rgb
+            regions = detect_qr_regions(rgb)
+            misses = []
+            for (x1, y1, x2, y2) in regions:
+                crop = rgb[y1:y2, x1:x2]
+                n_before = len(found)
+                yield crop
+                if len(found) == n_before:
+                    misses.append(crop)
+            for crop in misses:
+                yield enhance_qr_region(crop)
+            w = rgb.shape[1]
+            yield rgb[:, : w // 2]
+            yield rgb[:, w // 2 :]
 
         found: List[str] = []
 
         def absorb(arr):
             for txt in self._decode_all(arr):
                 txt = txt.strip()
-                if len(txt) >= self.min_len and txt not in found:
+                if (len(txt) >= self.min_len or txt.startswith("**")) and (
+                        txt not in found):
                     found.append(txt)
 
-        for arr in candidates:
+        for arr in candidates():
             absorb(arr)
             if self.max_payloads and len(found) >= self.max_payloads:
                 return found
