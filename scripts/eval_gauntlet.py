@@ -101,6 +101,12 @@ def main():
 
     rows = []
     for name, path, width, grid in variants:
+        if not os.path.exists(path):
+            # a queued retrain may have timed out before exporting its npz;
+            # evaluate everything else rather than aborting the whole table
+            print(json.dumps({"variant": name, "error": f"missing {path}"}),
+                  flush=True)
+            continue
         params, bn = load_params_npz(path, UNetConfig(base_width=width))
         for suffix, mode in seg_modes:
             kw = {"int8_calib": calib_batches(grid)} if mode == "int8" else {}

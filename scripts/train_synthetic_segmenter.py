@@ -111,6 +111,9 @@ def main():
                     help="gauntlet cases per level after training (0 skips)")
     ap.add_argument("--resume", action="store_true",
                     help="resume from this config's /tmp checkpoint dir")
+    ap.add_argument("--export-only", action="store_true",
+                    help="skip training: load this config's checkpoint "
+                    "(salvages a timed-out run) and write --out + eval")
     args = ap.parse_args()
 
     from twinvoice_tpu.config import Config, InferConfig, TrainConfig, UNetConfig
@@ -123,10 +126,12 @@ def main():
         suffix = f"_g{args.grid}" if args.grid != 512 else ""
         out = os.path.join(WEIGHTS_DIR, f"segmenter_synth_w{args.width}{suffix}.npz")
 
-    print(f"building {args.n} synthetic invoices @ {args.grid}²...", flush=True)
-    ds = build_dataset(args.n, args.grid, stylize=args.stylize)
-    if args.severity > 0:
-        ds = AugmentedDataset(ds, severity=args.severity, p_clean=0.3)
+    if not args.export_only:
+        print(f"building {args.n} synthetic invoices @ {args.grid}²...",
+              flush=True)
+        ds = build_dataset(args.n, args.grid, stylize=args.stylize)
+        if args.severity > 0:
+            ds = AugmentedDataset(ds, severity=args.severity, p_clean=0.3)
 
     cfg = Config(
         model=UNetConfig(base_width=args.width),
@@ -140,7 +145,25 @@ def main():
     resume_dir = (
         os.path.join(cfg.train.checkpoint_dir, "latest") if args.resume else None
     )
-    state, history = trainer.fit(ds, cfg, resume_dir=resume_dir)
+    if args.export_only:
+        # salvage path: a queue timeout can kill fit() after many epochs but
+        # before save_params_npz — export straight from the 'best' snapshot
+        from twinvoice_tpu.train import checkpoint as ckpt
+        from twinvoice_tpu.train.trainer import (
+            TrainState, make_optimizer)
+        from twinvoice_tpu.models.unet import init_unet
+        import jax
+
+        best = os.path.join(cfg.train.checkpoint_dir, "best")
+        src = best if ckpt.has_checkpoint(best) else os.path.join(
+            cfg.train.checkpoint_dir, "latest")
+        params, bn = init_unet(jax.random.key(0), cfg.model)
+        template = TrainState(params, bn, make_optimizer(cfg.train).init(params))
+        state = ckpt.restore(src, template)
+        print(f"export-only: restored {src} (epoch {state.epoch})")
+        history = [{"epoch": state.epoch, "loss": float("nan")}]
+    else:
+        state, history = trainer.fit(ds, cfg, resume_dir=resume_dir)
     save_params_npz(out, state.params, state.bn_state)
     print("saved", out, os.path.getsize(out) // 1024, "KB")
     print("final:", history[-1])

@@ -62,7 +62,7 @@ def evaluate(n=30, seed=123_000):
     rows = {}
     for tier, sev in tiers:
         rng = np.random.default_rng(seed + sum(map(ord, tier)))
-        stats = {m: [0, 0, 0] for m in ("classical", "learned")}
+        stats = {m: [0, 0, 0] for m in ("classical", "learned", "hybrid")}
         for i in range(n):
             gray, mask = render_textpage(rng, size=256, severity=0.0)
             img3 = np.repeat(gray[..., None], 3, -1)
@@ -77,7 +77,7 @@ def evaluate(n=30, seed=123_000):
             import cv2
 
             g = cv2.cvtColor(img3, cv2.COLOR_RGB2GRAY)
-            for method in ("classical", "learned"):
+            for method in ("classical", "learned", "hybrid"):
                 pred = detect_lines(g, method=method)
                 tp, fp, ng = _pr(pred, gt)
                 stats[method][0] += tp
@@ -91,12 +91,13 @@ def evaluate(n=30, seed=123_000):
             for m, s in stats.items()
         }
         print(tier, rows[tier], flush=True)
-    print("\n| tier | classical R/P | learned R/P |")
-    print("|---|---|---|")
+    print("\n| tier | classical R/P | learned R/P | hybrid R/P |")
+    print("|---|---|---|---|")
     for tier, r in rows.items():
-        c, l = r["classical"], r["learned"]
+        c, l, hy = r["classical"], r["learned"], r["hybrid"]
         print(f"| {tier} | {c['recall']:.2f}/{c['precision']:.2f} "
-              f"| {l['recall']:.2f}/{l['precision']:.2f} |")
+              f"| {l['recall']:.2f}/{l['precision']:.2f} "
+              f"| {hy['recall']:.2f}/{hy['precision']:.2f} |")
     return rows
 
 

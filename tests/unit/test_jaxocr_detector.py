@@ -144,3 +144,40 @@ def test_detect_lines_learned_method(tmp_path, monkeypatch):
     boxes = detector.detect_lines(gray, method="learned")
     assert isinstance(boxes, list)  # runs end-to-end; quality is the
     # train_textness.py A/B's job, not this smoke test's
+
+
+def test_detect_lines_hybrid_method(tmp_path, monkeypatch):
+    """Hybrid = classical boxes verified by the learned logit map, plus
+    learned-only boxes. With a quickly-fitted head it must run end-to-end
+    and, on a clean page, find at least what classical verification keeps."""
+    import numpy as np
+
+    from twinvoice_tpu.ocr.jaxocr import detector, textness
+
+    params = textness.train(steps=60, bs=8, cache_batches=4, seed=1,
+                            log=lambda *a: None)
+    monkeypatch.setattr(detector, "_learned_params", params)
+    rng = np.random.default_rng(3)
+    gray, mask = textness.render_textpage(rng, 256, severity=0.0)
+    boxes = detector.detect_lines(gray, method="hybrid")
+    assert isinstance(boxes, list)
+    # every hybrid box is a plausible line box within the page
+    for (x1, y1, x2, y2) in boxes:
+        assert 0 <= x1 < x2 <= 256 and 0 <= y1 < y2 <= 256
+
+
+def test_detect_lines_auto_prefers_hybrid(monkeypatch):
+    """'auto' resolves to hybrid when weights are bundled, classical when
+    not — both must run without error."""
+    import numpy as np
+
+    from twinvoice_tpu.ocr.jaxocr import detector, textness
+
+    rng = np.random.default_rng(5)
+    gray, _ = textness.render_textpage(rng, 256, severity=0.0)
+    monkeypatch.setattr(detector, "_learned_params", None)
+    b_classical = detector.detect_lines(gray, method="auto")
+    params = textness.init_textness(__import__("jax").random.key(0))
+    monkeypatch.setattr(detector, "_learned_params", params)
+    b_hybrid = detector.detect_lines(gray, method="auto")
+    assert isinstance(b_classical, list) and isinstance(b_hybrid, list)

@@ -104,8 +104,12 @@ def detect_lines(
     and full-page smears.
 
     ``method``: "classical" (adaptive threshold + anisotropic dilation),
-    "learned" (the trained textness head, ocr/jaxocr/textness.py), or
-    "auto" (learned when its weights are bundled, else classical). The
+    "learned" (the trained textness head, ocr/jaxocr/textness.py),
+    "hybrid" (classical boxes verified by the learned logit map, plus
+    learned boxes the classical pass missed — classical is near-perfect
+    on clean print but blind to context, the learned head is the
+    opposite; see the per-tier A/B in docs/PERFORMANCE.md), or "auto"
+    (hybrid when the learned weights are bundled, else classical). The
     A/B that decides the shipped default lives in
     scripts/train_textness.py / docs/PERFORMANCE.md.
     """
@@ -115,21 +119,61 @@ def detect_lines(
     if arr.ndim == 3:
         arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
     h, w = arr.shape
-    use_learned = method == "learned" or (method == "auto"
-                                          and _learned() is not None)
-    if use_learned:
+    if method == "auto":
+        method = "hybrid" if _learned() is not None else "classical"
+    filt = dict(min_area=min_area, min_w=min_w, min_h=min_h,
+                max_h_frac=max_h_frac, pad=pad)
+
+    if method == "hybrid":
+        from twinvoice_tpu.ocr.jaxocr.textness import textness_logits
+
+        params = _learned()
+        assert params is not None, "learned textness weights not bundled"
+        logits = textness_logits(arr, params)
+        cboxes = _boxes_from_map(_classical_map(arr), h, w, **filt)
+        # verify each classical box against the learned map with a LOW bar
+        # (fraction of weakly-positive pixels): the head's recall misses
+        # whole faint lines, but inside a true line it is rarely all-cold,
+        # while clutter/shadow components it was trained against stay cold
+        kept = [
+            b for b in cboxes
+            if _warm_frac(logits, b, pad) >= _HYBRID_VERIFY_FRAC
+        ]
+        lboxes = _boxes_from_map((logits > 0.0).astype(np.uint8), h, w, **filt)
+        for lb in lboxes:
+            if all(_iou(lb, kb) < 0.3 for kb in kept):
+                kept.append(lb)
+        boxes = kept
+    elif method == "learned":
         from twinvoice_tpu.ocr.jaxocr.textness import textness_map
 
         params = _learned()
         assert params is not None, "learned textness weights not bundled"
         dil = textness_map(arr, params).astype(np.uint8)
+        boxes = _boxes_from_map(dil, h, w, **filt)
     else:
-        # bucket the page shape to multiples of 64 (white-padded) so
-        # repeated calls across similar photo sizes reuse one compiled graph
-        hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
-        padded = np.full((hb, wb), 255, np.uint8)
-        padded[:h, :w] = arr
-        dil = np.asarray(_textness_map(padded[None]))[0, :h, :w].astype(np.uint8)
+        boxes = _boxes_from_map(_classical_map(arr), h, w, **filt)
+    boxes.sort(key=lambda b: (b[1] // 10, b[0]))
+    return boxes
+
+
+_HYBRID_VERIFY_FRAC = 0.10
+
+
+def _classical_map(arr: np.ndarray) -> np.ndarray:
+    """uint8 (H, W) gray → uint8 {0,1} dilated ink map (classical path)."""
+    h, w = arr.shape
+    # bucket the page shape to multiples of 64 (white-padded) so repeated
+    # calls across similar photo sizes reuse one compiled graph
+    hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
+    padded = np.full((hb, wb), 255, np.uint8)
+    padded[:h, :w] = arr
+    return np.asarray(_textness_map(padded[None]))[0, :h, :w].astype(np.uint8)
+
+
+def _boxes_from_map(dil, h, w, *, min_area, min_w, min_h, max_h_frac,
+                    pad) -> List[Box]:
+    import cv2
 
     n, labels, stats, _ = cv2.connectedComponentsWithStats(dil, connectivity=8)
     boxes: List[Box] = []
@@ -146,8 +190,30 @@ def detect_lines(
         x2 = min(w, x + bw + pad)
         y2 = min(h, y + bh + pad)
         boxes.append((x1, y1, x2, y2))
-    boxes.sort(key=lambda b: (b[1] // 10, b[0]))
     return boxes
+
+
+def _warm_frac(logits: np.ndarray, box: Box, pad: int) -> float:
+    """Fraction of weakly-positive (sigmoid > 0.3) learned-map pixels inside
+    the un-padded box."""
+    x1, y1, x2, y2 = box
+    region = logits[y1 + pad : max(y1 + pad + 1, y2 - pad),
+                    x1 + pad : max(x1 + pad + 1, x2 - pad)]
+    if region.size == 0:
+        return 0.0
+    return float((region > -0.85).mean())   # logit(0.3) ≈ -0.85
+
+
+def _iou(a: Box, b: Box) -> float:
+    ax1, ay1, ax2, ay2 = a
+    bx1, by1, bx2, by2 = b
+    ix = max(0, min(ax2, bx2) - max(ax1, bx1))
+    iy = max(0, min(ay2, by2) - max(ay1, by1))
+    inter = ix * iy
+    if inter == 0:
+        return 0.0
+    ua = (ax2 - ax1) * (ay2 - ay1) + (bx2 - bx1) * (by2 - by1) - inter
+    return inter / ua
 
 
 def read_page(

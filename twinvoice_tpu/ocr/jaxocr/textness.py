@@ -239,13 +239,12 @@ def train(steps: int = 1500, bs: int = 32, lr: float = 2e-3, seed: int = 0,
 _jitted_apply = None
 
 
-def textness_map(gray_u8: np.ndarray, params) -> np.ndarray:
-    """uint8 (H, W) grayscale → bool (H, W) learned text map (the drop-in
-    replacement for detector._textness_map's output)."""
+def textness_logits(gray_u8: np.ndarray, params) -> np.ndarray:
+    """uint8 (H, W) grayscale → float32 (H, W) textness LOGIT map at full
+    resolution (nearest-upsampled from the stride-4 head output)."""
     global _jitted_apply
     import cv2
     import jax
-    import jax.numpy as jnp
 
     if _jitted_apply is None:
         _jitted_apply = jax.jit(textness_apply)
@@ -253,9 +252,15 @@ def textness_map(gray_u8: np.ndarray, params) -> np.ndarray:
     hb, wb = -(-h // 64) * 64, -(-w // 64) * 64
     padded = np.full((hb, wb), 255, np.uint8)
     padded[:h, :w] = gray_u8
+    import jax.numpy as jnp
+
     x = jnp.asarray(padded[None, :, :, None], jnp.float32) / 255.0
     logits = np.asarray(_jitted_apply(params, x))[0, :, :, 0]
-    prob_small = logits > 0.0  # sigmoid > 0.5
-    full = cv2.resize(prob_small.astype(np.uint8), (wb, hb),
-                      interpolation=cv2.INTER_NEAREST)
-    return full[:h, :w].astype(bool)
+    full = cv2.resize(logits, (wb, hb), interpolation=cv2.INTER_NEAREST)
+    return full[:h, :w]
+
+
+def textness_map(gray_u8: np.ndarray, params) -> np.ndarray:
+    """uint8 (H, W) grayscale → bool (H, W) learned text map (the drop-in
+    replacement for detector._textness_map's output)."""
+    return textness_logits(gray_u8, params) > 0.0  # sigmoid > 0.5
