@@ -125,19 +125,26 @@ def main(iters=6, sweep=False):
     if sweep:
         # VERDICT r2 #6: batch scaling to the OOM edge, MFU per point,
         # then the remat variant past the plain-mode edge
+        def try_cfg(label, *a, **kw):
+            # the remote compile helper 500s transiently (tpu ops notes);
+            # retry once before concluding a config is infeasible
+            for attempt in (1, 2):
+                try:
+                    bench(*a, **kw)
+                    return True
+                except Exception as e:
+                    err = str(e)[:160]
+                    if attempt == 2:
+                        print(json.dumps({"config": label, "error": err}),
+                              flush=True)
+            return False
+
         for batch in (16, 24, 32, 48, 64):
-            try:
-                bench("bf16", batch, iters)
-            except Exception as e:
-                print(json.dumps({"config": f"bf16 bs={batch}",
-                                  "error": str(e)[:160]}), flush=True)
+            if not try_cfg(f"bf16 bs={batch}", "bf16", batch, iters):
                 break
         for batch in (32, 48, 64, 96):
-            try:
-                bench("bf16", batch, iters, remat=True)
-            except Exception as e:
-                print(json.dumps({"config": f"bf16 bs={batch} remat",
-                                  "error": str(e)[:160]}), flush=True)
+            if not try_cfg(f"bf16 bs={batch} remat", "bf16", batch, iters,
+                           remat=True):
                 break
         return
     for dtype_name, batch in (("fp32", 4), ("bf16", 4), ("bf16", 16)):
