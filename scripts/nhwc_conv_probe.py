@@ -61,17 +61,18 @@ def main(batch=128, iters=10, th=8):
 
     xpad = jax.jit(NC.pad_nhwc)(x)
     xpad.block_until_ready()
-    timed(lambda xp: NC.qconv3x3_nhwc_requant(
-        xp, k8, a, bias, os_, th=th, interpret=False),
-        (xpad,), iters, f"v1 NHWC stream (th={th})")
+    for th1 in (th, 16, 32):
+        timed(lambda xp, _t=th1: NC.qconv3x3_nhwc_requant(
+            xp, k8, a, bias, os_, th=_t, interpret=False),
+            (xpad,), iters, f"v1 NHWC rolling-carry (th={th1})")
 
     xa = jax.jit(NC.to_phase_a)(x)
     xa.block_until_ready()
     wp = jnp.asarray(NC.pack_w_pair(k8))
     a2, b2 = jnp.tile(a, 2), jnp.tile(bias, 2)
-    for th2 in (th, 16):
-        timed(lambda t: NC.qconv3x3_pair_requant(
-            t, wp, a2, b2, os_, in_phase="A", th=th2, interpret=False),
+    for th2 in (th, 16, 32):
+        timed(lambda t, _t=th2: NC.qconv3x3_pair_requant(
+            t, wp, a2, b2, os_, in_phase="A", th=_t, interpret=False),
             (xa,), iters, f"v2 pair-packed A->B (th={th2})")
 
     if "--trunk" in sys.argv:
