@@ -40,8 +40,9 @@ def render_base(n, seed=0, stylize=0.8):
     from twinvoice_tpu import FIELDS
     from twinvoice_tpu.data.synthetic import render_invoice, train_fonts
 
+    # v5: ink-anchored ground-truth convention (synthetic.gt_anchor)
     key = hashlib.md5(
-        f"synthbase-v4-{n}-{seed}-{stylize}".encode()
+        f"synthbase-v5-{n}-{seed}-{stylize}".encode()
     ).hexdigest()[:10]
     cache = f"/tmp/synth_base_{key}.npz"
     if os.path.exists(cache):
