@@ -19,17 +19,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-if "--dp-sweep" in sys.argv:
-    # the DP curve runs on virtual CPU devices (no multi-chip hardware on
-    # this box) — force the platform before jax initializes any backend
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    os.environ["XLA_FLAGS"] = (
-        os.environ.get("XLA_FLAGS", "")
-        + " --xla_force_host_platform_device_count=8"
-    )
-
 import numpy as np
 import jax
+
+if "--dp-sweep" in sys.argv:
+    # the DP curve runs on virtual CPU devices (no multi-chip hardware on
+    # this box). The axon TPU plugin IGNORES the JAX_PLATFORMS env var —
+    # only the config API keeps the TPU backend out (tests/conftest.py
+    # recipe, same as __graft_entry__.dryrun_multichip)
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+
 import jax.numpy as jnp
 
 FWD_GFLOP_PER_IMG = 219.0

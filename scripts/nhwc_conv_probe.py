@@ -59,21 +59,28 @@ def main(batch=128, iters=10, th=8):
 
     timed(xla_conv, (x,), iters, "XLA int8 conv+requant")
 
+    # HBM hygiene (16 GB chip): at b128 each (B,512,512,64) int8 tensor is
+    # 2.1-4.3 GB — keep at most input+output alive per variant, and drop
+    # the padded/packed inputs before moving to the next family (the E2
+    # run OOM'd with x + xpad + out + xa all live)
     xpad = jax.jit(NC.pad_nhwc)(x)
     xpad.block_until_ready()
     for th1 in (th, 16, 32):
         timed(lambda xp, _t=th1: NC.qconv3x3_nhwc_requant(
             xp, k8, a, bias, os_, th=_t, interpret=False),
             (xpad,), iters, f"v1 NHWC rolling-carry (th={th1})")
+    xpad.delete()
 
     xa = jax.jit(NC.to_phase_a)(x)
     xa.block_until_ready()
+    x.delete()
     wp = jnp.asarray(NC.pack_w_pair(k8))
     a2, b2 = jnp.tile(a, 2), jnp.tile(bias, 2)
     for th2 in (th, 16, 32):
         timed(lambda t, _t=th2: NC.qconv3x3_pair_requant(
             t, wp, a2, b2, os_, in_phase="A", th=_t, interpret=False),
             (xa,), iters, f"v2 pair-packed A->B (th={th2})")
+    xa.delete()
 
     if "--trunk" in sys.argv:
         # full w64 serving box path on the mega-kernel trunk

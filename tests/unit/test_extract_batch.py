@@ -19,7 +19,7 @@ class StubSeg:
         self.single_calls += 1
         return {}, dict(self._crops)
 
-    def segment_pil_batch(self, ims, *, return_masks=True):
+    def segment_pil_batch(self, ims, *, return_masks=True, gray_h2d=False):
         self.batch_calls += 1
         masks = {} if return_masks else None
         return [(masks, dict(self._crops)) for _ in ims]

@@ -113,6 +113,9 @@ class FusionConfig:
     host_workers: int = 4                # extract_batch: QR scans run in a
     # thread pool overlapped with the segmenter's device call (the native
     # decoder + PIL release the GIL); ~80% of r2 bulk wall was this host work
+    gray_h2d: bool = True                # extract_batch: upload luminance and
+    # replicate to RGB on device — 3× fewer host→device bytes (the bulk
+    # path's bottleneck on relay-attached hosts); mask agreement ≥99.95%
 
 
 @dataclass(frozen=True)

@@ -320,10 +320,14 @@ class InvoiceExtractor:
                 if hasattr(self.segmenter, "segment_pil_batch"):
                     # return_masks=False: extraction only reads the crops,
                     # and the batch-32 mask tensor is ~25 MB of device→host
-                    # transfer we'd fetch just to drop
+                    # transfer we'd fetch just to drop; gray_h2d uploads
+                    # luminance (3× fewer bytes up, same masks)
+                    kw = {}
+                    if getattr(self.cfg, "gray_h2d", False):
+                        kw["gray_h2d"] = True
                     all_crops = [
                         c for _, c in self.segmenter.segment_pil_batch(
-                            imgs, return_masks=False)
+                            imgs, return_masks=False, **kw)
                     ]
                 else:
                     all_crops = []

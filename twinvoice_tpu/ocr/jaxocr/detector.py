@@ -95,7 +95,7 @@ def detect_lines(
     min_h: int = 6,
     max_h_frac: float = 0.25,
     pad: int = 3,
-    method: str = "classical",
+    method: str = "auto",
 ) -> List[Box]:
     """PIL image / ndarray → text-line boxes, top-to-bottom, left-to-right.
 

@@ -151,7 +151,10 @@ class JaxOcrEngine:
             arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
         if arr.shape[0] < 2 * IMG_H:  # short crop: assuredly one line
             return [arr]
-        boxes = detect_lines(arr)
+        # field crops: the classical map is crisp on print and cheap;
+        # the learned/hybrid head is a PAGE-level detector (trained on
+        # full pages — see detect_lines' A/B)
+        boxes = detect_lines(arr, method="classical")
         bands = _group_into_bands(boxes)
         if len(bands) >= 2:
             return [arr[y1:y2, x1:x2] for (x1, y1, x2, y2) in bands]
