@@ -142,7 +142,9 @@ def main(iters=6, sweep=False):
         for batch in (16, 24, 32, 48, 64):
             if not try_cfg(f"bf16 bs={batch}", "bf16", batch, iters):
                 break
-        for batch in (32, 48, 64, 96):
+        # remat from bs=16: establishes whether ANY remat graph compiles
+        # on this toolchain before concluding the lever is blocked
+        for batch in (16, 32, 48, 64, 96):
             if not try_cfg(f"bf16 bs={batch} remat", "bf16", batch, iters,
                            remat=True):
                 break

@@ -14,8 +14,8 @@ timeout 3600 python scripts/nhwc_conv_probe.py 128 10 --trunk 2>&1 | tail -15
 echo "=== G3. Mosaic per-grid-step overhead constant ==="
 timeout 1800 python scripts/pallas_step_overhead.py 2>&1 | tail -8
 
-echo "=== G4. train bench: plain rows (bs16/24/32 re-pin post-changes) ==="
-timeout 2400 python scripts/bench_train.py 4 2>&1 | tail -6
+echo "=== G4. train sweep incl. remat-from-bs16 (VERDICT #6) ==="
+timeout 3600 python scripts/bench_train.py --sweep 2>&1 | tail -14
 
 echo "=== G5. bench.py sanity after weight promotions ==="
 timeout 1200 python bench.py 2>&1 | tail -2
