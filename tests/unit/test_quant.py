@@ -124,3 +124,31 @@ def test_concat_and_split_decoders_bit_identical(small_model):
     h_split, s_split = unet_apply_quantized_features(q, imgs, concat=False)
     assert s_cat == s_split
     assert np.array_equal(np.asarray(h_cat), np.asarray(h_split))
+
+
+def test_segment_pil_batch_gray_h2d_matches_rgb():
+    """The luminance-upload path (3× fewer host→device bytes) must produce
+    the same boxes as the RGB path on a grayscale-content image — the bulk
+    extractor ships with it on by default (FusionConfig.gray_h2d)."""
+    from PIL import Image
+
+    from twinvoice_tpu.config import InferConfig
+    from twinvoice_tpu.infer.pipeline import Segmenter
+    from twinvoice_tpu.models.unet import init_unet
+
+    cfg = UNetConfig(base_width=8)
+    params, state = init_unet(jax.random.key(0), cfg)
+    seg = Segmenter(params, state, cfg, InferConfig(img_size=64))
+    rng = np.random.default_rng(3)
+    gray = rng.integers(0, 255, (96, 80), dtype=np.uint8)
+    img = Image.fromarray(np.repeat(gray[..., None], 3, -1))
+    out_rgb = seg.segment_pil_batch([img], return_masks=False)
+    out_gray = seg.segment_pil_batch([img], return_masks=False,
+                                     gray_h2d=True)
+    assert out_rgb[0][0] is None and out_gray[0][0] is None
+    # identical crop presence per field (box math identical on gray input)
+    for f in out_rgb[0][1]:
+        a, b = out_rgb[0][1][f], out_gray[0][1][f]
+        assert (a is None) == (b is None)
+        if a is not None:
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
