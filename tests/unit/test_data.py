@@ -107,3 +107,39 @@ def test_split_deterministic():
     tr2, va2 = ds.split(0.3, seed=5)
     assert len(va1) == 3 and len(tr1) == 7
     assert tr1.names == tr2.names
+
+
+def test_ink_anchored_gt_convention():
+    """The v4 ground-truth convention: each field box's vertical extent
+    hugs the rendered ink with GT_INK_MARGIN of whitespace, independent of
+    the typeface's internal metrics (the held-out-font root cause)."""
+    import numpy as np
+
+    from twinvoice_tpu.data.synthetic import (
+        GT_INK_MARGIN, heldout_fonts, render_invoice, train_fonts)
+
+    for font in (train_fonts()[0], heldout_fonts()[0]):
+        img, boxes = render_invoice("AB12345678", "2024-01-02", 777,
+                                    seed=11, font_path=font)
+        arr = np.asarray(img.convert("L"))
+        for field, (x1, y1, x2, y2) in boxes.items():
+            rows = np.where((arr[:, x1:x2] < 128).any(axis=1))[0]
+            rows = rows[(rows >= y1 - 10) & (rows <= y2 + 10)]
+            assert len(rows), field
+            ink_top, ink_bot = rows.min(), rows.max() + 1
+            # box covers the ink, with at most the margin of slack
+            assert y1 <= ink_top and ink_bot <= y2, (field, font)
+            assert ink_top - y1 <= GT_INK_MARGIN, (field, font)
+            assert y2 - ink_bot <= GT_INK_MARGIN, (field, font)
+
+
+def test_cursor_anchor_still_available():
+    from twinvoice_tpu.data.synthetic import render_invoice
+
+    _, ink = render_invoice("AB12345678", "2024-01-02", 7, seed=3)
+    _, cur = render_invoice("AB12345678", "2024-01-02", 7, seed=3,
+                            gt_anchor="cursor")
+    for f in ink:
+        # same horizontal extent; ink band nests inside the cursor band
+        assert ink[f][0] == cur[f][0] and ink[f][2] == cur[f][2]
+        assert cur[f][1] <= ink[f][1] and ink[f][3] <= cur[f][3] + 3
