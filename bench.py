@@ -109,5 +109,32 @@ def main():
     )
 
 
+def _guarded_device_init(seconds=300):
+    """Fail fast with a machine-readable error instead of hanging forever
+    when the TPU relay is down (it died mid-round-3; jax.devices() then
+    blocks indefinitely). Guards ONLY backend init — compiles can stall
+    10-15 min on this relay and recover, so they must not be clocked.
+    """
+    import os
+    import threading
+
+    def boom():
+        print(json.dumps({
+            "metric": "invoice images/sec/chip end-to-end",
+            "value": 0, "unit": "img/s", "vs_baseline": 0,
+            "error": f"device init exceeded {seconds}s — TPU relay down",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, boom)
+    t.daemon = True
+    t.start()
+    import jax
+
+    jax.devices()  # blocks forever when the relay stdio bridge is dead
+    t.cancel()
+
+
 if __name__ == "__main__":
+    _guarded_device_init()
     main()
