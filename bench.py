@@ -52,10 +52,14 @@ def build_segmenter():
 
 
 def main():
+    import os
+
     import jax.numpy as jnp
 
     seg, icfg, label = build_segmenter()
-    batch = 128  # throughput sweet spot on v5e (b32=208 ... b128 best)
+    # throughput sweet spot on v5e (b32=208 ... b128 best); env overrides
+    # exist only for CPU smoke-drives of the bench path
+    batch = int(os.environ.get("BENCH_BATCH", 128))
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(
@@ -68,7 +72,7 @@ def main():
         _, boxes, ok = seg.segment_batch(imgs, sizes, return_masks=False)
         np.asarray(boxes)
 
-    iters = 10
+    iters = int(os.environ.get("BENCH_ITERS", 10))
     t0 = time.perf_counter()
     for _ in range(iters):
         _, boxes, ok = seg.segment_batch(imgs, sizes, return_masks=False)
@@ -90,20 +94,27 @@ def main():
     np.asarray(pending)
     dt = time.perf_counter() - t0
 
-    img_per_s = max(batch * iters / dt, serial)
+    pipelined = batch * iters / dt
+
+    # Headline protocol is FIXED: queue-depth-2 dispatch (standard serving
+    # practice; hides the relay's dispatch+fetch RTT). Both protocols are
+    # reported as separate fields so round-over-round comparisons never mix
+    # them (ADVICE r3: the old max(serial, pipelined) headline silently
+    # switched protocols run-to-run).
     print(
         json.dumps(
             {
                 "metric": (
                     f"invoice images/sec/chip end-to-end "
                     f"(preproc+U-Net+bbox, {label} bf16 batch-{batch} "
-                    f"{icfg.img_size}^2, 2-in-flight dispatch "
-                    f"[serial: {serial:.0f}]; quality: "
+                    f"{icfg.img_size}^2, queue-depth-2 dispatch; quality: "
                     f"docs/PERFORMANCE.md gauntlet)"
                 ),
-                "value": round(img_per_s, 2),
+                "value": round(pipelined, 2),
                 "unit": "img/s",
-                "vs_baseline": round(img_per_s / 1000.0, 4),
+                "vs_baseline": round(pipelined / 1000.0, 4),
+                "pipelined_img_per_s": round(pipelined, 2),
+                "serial_img_per_s": round(serial, 2),
             }
         )
     )

@@ -107,6 +107,19 @@ class Segmenter:
         use_wpack = bool(int8_wpack) and quantized
         wpack_mode = "enc" if int8_wpack == "enc" else "full"
         use_nhwc = int8_wpack == "nhwc"  # ops/nhwc_conv mega-kernel trunk
+        if use_nhwc:
+            # ADVICE r3: 'nhwc' only has an implementation for the box-only
+            # (return_masks=False) path; mask requests and _run_from_raw
+            # fall back to the XLA wpack trunk (mode='full'). Warn up front
+            # so A/Bs of those paths don't silently measure the fallback.
+            import warnings
+
+            warnings.warn(
+                "int8_wpack='nhwc' applies only to the box-only "
+                "(return_masks=False) path; mask paths fall back to the "
+                "XLA wpack trunk (mode='full')",
+                stacklevel=2,
+            )
 
         @partial(jax.jit, static_argnames=("return_masks",))
         def _run(folded, imgs_u8, orig_sizes, return_masks=True):

@@ -217,6 +217,7 @@ class JaxOcrEngine:
         ids, conf = np.asarray(ids), np.asarray(conf)
 
         k = 0
+        amount_line_pick = [False] * len(images)
         for i, ps in enumerate(parts):
             texts, confs = [], []
             for _ in ps:
@@ -233,6 +234,7 @@ class JaxOcrEngine:
                 digits = [sum(ch.isdigit() for ch in t) for t in texts]
                 j = max(range(len(texts)), key=lambda j: (digits[j], j))
                 out[i] = OcrResult(texts[j], self.name, confidence=confs[j])
+                amount_line_pick[i] = True
             else:
                 c = float(np.mean(confs))
                 out[i] = OcrResult(" ".join(texts), self.name, confidence=c)
@@ -243,6 +245,18 @@ class JaxOcrEngine:
             t = self.charset.greedy_ctc_decode(ids[k])
             c = float(conf[k])
             k += 1
-            if t and c > (out[i].confidence or 0.0):
-                out[i] = OcrResult(t, self.name, confidence=c)
+            if not t or c <= (out[i].confidence or 0.0):
+                continue
+            if amount_line_pick[i]:
+                # ADVICE r3: a confident whole-crop read of a multi-line
+                # amount crop concatenates digits from unrelated lines —
+                # exactly what the digit-line selection above guards
+                # against. Only let it override when it passes the same
+                # digit-dominance bar as the selected line.
+                digits = sum(ch.isdigit() for ch in t)
+                if digits < len(t) * 0.8 or digits <= sum(
+                    ch.isdigit() for ch in out[i].text
+                ):
+                    continue
+            out[i] = OcrResult(t, self.name, confidence=c)
         return out

@@ -222,9 +222,27 @@ class QrPipeline:
                         txt not in found):
                     found.append(txt)
 
+        def roles_satisfied():
+            # ADVICE r3: a raw count lets one ≥20-char misdecode on the
+            # full-frame pass halt scanning before the region/half-tile
+            # passes that recover the real header QR. Early-stop only once
+            # both expected invoice QR roles are actually covered: a
+            # header-shaped payload (invoice no + parseable ROC date) and
+            # a TEXT ("**") payload.
+            from .parse import is_text_qr_payload, parse_header_qr
+
+            inv_no, date = parse_header_qr(found)
+            has_header = inv_no is not None and date is not None
+            has_text = any(is_text_qr_payload(s) for s in found)
+            return has_header and has_text
+
         for arr in candidates():
             absorb(arr)
-            if self.max_payloads and len(found) >= self.max_payloads:
+            if (
+                self.max_payloads
+                and len(found) >= self.max_payloads
+                and roles_satisfied()
+            ):
                 return found
         if not found:  # last resort: 2× upscale of the full frame
             absorb(cv2.resize(rgb, None, fx=2, fy=2, interpolation=cv2.INTER_LINEAR))
