@@ -25,13 +25,17 @@ def main(frames=30, res=512, width=64):
 
     mcfg, icfg = UNetConfig(base_width=width), InferConfig(img_size=res)
     if width == 16:
-        # the bundled trained streaming-preset weights, if present
+        # the bundled trained streaming-preset weights, if present; the
+        # g384-trained preset when running at 384 (it exists exactly for
+        # this config — the 512-trained weights at 384 are off-distribution)
         from twinvoice_tpu.models import pretrained
 
-        if pretrained.available():
+        variant = "w16_g384" if res == 384 else "w16"
+        if pretrained.available(variant):
             from twinvoice_tpu.train.checkpoint import load_params_npz
 
-            params, state = load_params_npz(pretrained.SEGMENTER_SYNTH_W16, mcfg)
+            params, state = load_params_npz(
+                pretrained.variant_path(variant), mcfg)
         else:
             params, state = init_unet(jax.random.key(0), mcfg)
     else:
@@ -74,20 +78,40 @@ def main(frames=30, res=512, width=64):
     jax.device_get(pending)
     amortized = 1e3 * (time.perf_counter() - t0) / frames
 
-    print(
-        json.dumps(
-            {
-                "metric": f"1080p streaming frame latency (device resize + bf16 w{width} U-Net@{res} + bbox)",
-                "p50_ms": round(lat[len(lat) // 2], 2),
-                "p95_ms": round(lat[int(0.95 * len(lat)) - 1], 2),
-                "amortized_ms_2inflight": round(amortized, 2),
-                "target_ms": 30,
-            }
-        )
-    )
+    result = {
+        "metric": f"1080p streaming frame latency (device resize + bf16 w{width} U-Net@{res} + bbox)",
+        "p50_ms": round(lat[len(lat) // 2], 2),
+        "p95_ms": round(lat[int(0.95 * len(lat)) - 1], 2),
+        "amortized_ms_2inflight": round(amortized, 2),
+        "target_ms": 30,
+    }
+    print(json.dumps(result))
+    return result
+
+
+def spread(runs=5, frames=30, res=384, width=16):
+    """VERDICT r3 #6: the ≤30 ms claim sat on ONE run of a relay-jitter-
+    dominated path. Report the across-run spread so 'met' means met durably.
+    The first run's numbers include residual warmup effects identically to
+    the single-run protocol (compile happens once, in run 1's warmup)."""
+    rs = [main(frames=frames, res=res, width=width) for _ in range(runs)]
+    p50s = sorted(r["p50_ms"] for r in rs)
+    amts = sorted(r["amortized_ms_2inflight"] for r in rs)
+    print(json.dumps({
+        "metric": f"streaming w{width}@{res} across {runs} runs",
+        "p50_ms_min": p50s[0], "p50_ms_med": p50s[len(p50s) // 2],
+        "p50_ms_max": p50s[-1],
+        "amortized_min": amts[0], "amortized_med": amts[len(amts) // 2],
+        "amortized_max": amts[-1],
+        "target_ms": 30,
+        "met_in_all_runs": amts[-1] <= 30.0,
+    }))
 
 
 if __name__ == "__main__":
     res = int(sys.argv[1]) if len(sys.argv) > 1 else 512
     width = 16 if "--w16" in sys.argv else 64
-    main(res=res, width=width)
+    if "--spread" in sys.argv:
+        spread(res=res, width=width)
+    else:
+        main(res=res, width=width)

@@ -1,0 +1,236 @@
+"""Real-TPU Pallas validation gate (VERDICT r3 #7).
+
+Runs every shipping Pallas kernel family ON THE CHIP against its XLA twin
+on random inputs and asserts exactness — interpret-mode tests cannot carry
+this weight alone (the r2 pallas_head revisit bug was exactly the class the
+generic interpreter cannot catch: output-block revisiting across grid steps
+is legal in interpret mode but reads stale tiles on real hardware).
+
+Kernel families gated (mirrors the interpret-mode unit tests):
+  1. ops/pallas/postprocess.bbox_postprocess_pallas  vs bbox_from_logits_fast
+  2. ops/pallas_head.head_rowcol_max                 vs dense einsum + max
+  3. ops/qconv_pallas.qconv3x3_requant (frame trunk) vs quant._conv3x3_i8
+  4. ops/qconv_pallas.max_pool2_hcwn / qupsample2x2_requant vs XLA twins
+  5. ops/nhwc_conv rolling-carry single + pair (A->B chain) vs XLA twins
+
+Hygiene (memory: tpu-box-operational-facts): all inputs are generated
+ON-DEVICE with jax.random inside jit (never ship big host arrays through
+the relay); comparisons are reduced to scalars on-device before fetch.
+
+Usage:  python scripts/pallas_tpu_gate.py          # real TPU, the gate
+        python scripts/pallas_tpu_gate.py --interpret  # CPU smoke mode
+
+Exit 0 with one PASS line per kernel, or exit 1 naming the first failure.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+RESULTS = []
+
+
+def check(name, fn):
+    t0 = time.perf_counter()
+    try:
+        detail = fn()
+        dt = time.perf_counter() - t0
+        print(f"PASS {name} ({dt:.1f}s){': ' + detail if detail else ''}",
+              flush=True)
+        RESULTS.append((name, True))
+    except Exception as e:  # noqa: BLE001 - gate reports, queue log decides
+        dt = time.perf_counter() - t0
+        print(f"FAIL {name} ({dt:.1f}s): {type(e).__name__}: {e}", flush=True)
+        RESULTS.append((name, False))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU smoke mode (interpret kernels)")
+    args = ap.parse_args()
+
+    if args.interpret:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+
+    interp = bool(args.interpret)
+    dev = jax.devices()[0]
+    print(f"gate device: {dev.platform} interpret={interp}", flush=True)
+
+    # ---- helpers: on-device random int8 / f32 -------------------------
+    def rnd_i8(key, shape, lo=-127, hi=128):
+        return jax.random.randint(key, shape, lo, hi, jnp.int32).astype(jnp.int8)
+
+    def mismatches(a, b):
+        return int(jax.jit(lambda x, y: jnp.sum(x != y))(a, b))
+
+    def maxdiff(a, b):
+        return float(jax.jit(
+            lambda x, y: jnp.max(jnp.abs(x.astype(jnp.float32)
+                                         - y.astype(jnp.float32))))(a, b))
+
+    k0 = jax.random.key(0)
+
+    # ---- 1. postprocess kernel ---------------------------------------
+    def gate_postprocess():
+        from twinvoice_tpu.infer.postprocess import bbox_from_probs
+        from twinvoice_tpu.ops.pallas.postprocess import bbox_postprocess_pallas
+
+        thr = (0.25, 0.40, 0.30)
+        logits = jax.jit(lambda k: 6.0 * jax.random.normal(
+            k, (8, 512, 512, 3), jnp.float32) - 3.0)(jax.random.fold_in(k0, 1))
+        boxes_p, valid_p = jax.jit(
+            lambda lg: bbox_postprocess_pallas(lg, thr, interpret=interp)
+        )(logits)
+
+        def ref(lg):
+            prob = jax.nn.sigmoid(lg.astype(jnp.float32))
+            return jax.vmap(
+                lambda p: bbox_from_probs(p, jnp.asarray(thr)))(prob)
+
+        boxes_x, valid_x = jax.jit(ref)(logits)
+        # box values are only meaningful where valid (contract of both impls)
+        mm = int(jax.jit(lambda bp, bx, v: jnp.sum(
+            jnp.where(v[..., None], bp != bx, False)))(
+                boxes_p, boxes_x, valid_x))
+        mm += mismatches(valid_p.astype(jnp.int32), valid_x.astype(jnp.int32))
+        assert mm == 0, f"{mm} box/valid mismatches"
+        return "bit-exact boxes+valid (8,512,512,3)"
+
+    # ---- 2. fused int8 head ------------------------------------------
+    def gate_head():
+        from twinvoice_tpu.ops.pallas_head import head_rowcol_max
+
+        c = 64
+        kk = jax.random.fold_in(k0, 2)
+        h_s8 = rnd_i8(kk, (8, 128, 256, c))
+        w = 0.2 * jax.random.normal(jax.random.fold_in(k0, 3), (c, 3),
+                                    jnp.float32)
+        scale = jnp.float32(0.037)
+        row, col = jax.jit(
+            lambda h, ww: head_rowcol_max(h, ww, scale, interpret=interp)
+        )(h_s8, w)
+
+        def ref(h, ww):
+            # mirror the kernel's quantization exactly: scale folds into the
+            # weight BEFORE bf16 rounding; int8 activations are bf16-exact
+            wf = (ww * scale).astype(jnp.bfloat16).astype(jnp.float32)
+            lg = jnp.einsum("bhwc,co->bhwo", h.astype(jnp.float32), wf)
+            return lg.max(2), lg.max(1)
+
+        row_r, col_r = jax.jit(ref)(h_s8, w)
+        d = max(maxdiff(row, row_r), maxdiff(col, col_r))
+        assert d < 0.02, f"maxdiff {d}"
+        return f"maxdiff {d:.4g} (f32-accumulation-order tolerance 0.02)"
+
+    # ---- 3. frame-format int8 trunk conv -----------------------------
+    def gate_qconv_frame():
+        from twinvoice_tpu.infer.quant import _conv3x3_i8
+        from twinvoice_tpu.ops import qconv_pallas as QP
+
+        b, h, w, c, co = 8, 128, 128, 64, 64
+        x = rnd_i8(jax.random.fold_in(k0, 4), (b, h, w, c), -40, 41)
+        kern = rnd_i8(jax.random.fold_in(k0, 5), (3, 3, c, co), -20, 21)
+        a = jax.random.uniform(jax.random.fold_in(k0, 6), (co,), jnp.float32,
+                               1e-3, 2e-3)
+        bias = 0.1 * jax.random.normal(jax.random.fold_in(k0, 7), (co,),
+                                       jnp.float32)
+        os_ = jnp.float32(3.7)
+
+        cc = QP._plan_tiles(h, c, w, b, co)[2]
+        wp = jnp.asarray(QP.pack_w3x3(np.asarray(kern), cc))
+        got = jax.jit(lambda t: jnp.transpose(QP.from_frame(
+            QP.qconv3x3_requant(QP.to_frame(QP.to_hcwn(t)), wp, a, bias, os_,
+                                interpret=interp)), (3, 0, 2, 1)))(x)
+        ref = jax.jit(lambda t: jnp.clip(jnp.round(jax.nn.relu(
+            _conv3x3_i8(t, {"kernel": kern}).astype(jnp.float32) * a + bias
+        ) * (127.0 / os_)), 0, 127).astype(jnp.int8))(x)
+        mm = mismatches(got, ref)
+        assert mm == 0, f"{mm} int8 mismatches"
+        return f"bit-exact ({b},{h},{w},{c})->{co} cc={cc}"
+
+    # ---- 4a. frame max-pool ------------------------------------------
+    def gate_pool():
+        from twinvoice_tpu.ops import qconv_pallas as QP
+
+        x = rnd_i8(jax.random.fold_in(k0, 8), (8, 128, 128, 64))
+        got = jax.jit(lambda t: jnp.transpose(QP.from_frame(
+            QP.max_pool2_hcwn(QP.to_frame(QP.to_hcwn(t)),
+                              interpret=interp)), (3, 0, 2, 1)))(x)
+        ref = jax.jit(lambda t: jax.lax.reduce_window(
+            t, jnp.int8(-128), jax.lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+            "VALID"))(x)
+        mm = mismatches(got, ref)
+        assert mm == 0, f"{mm} mismatches"
+        return "bit-exact 2x2 pool"
+
+    # ---- 5. rolling-carry NHWC single + pair chain -------------------
+    def gate_nhwc_single():
+        from twinvoice_tpu.infer.quant import _conv3x3_i8, _requant
+        from twinvoice_tpu.ops.nhwc_conv import pad_nhwc, qconv3x3_nhwc_requant
+
+        b, h, w, c, co = 4, 128, 128, 64, 64
+        x = rnd_i8(jax.random.fold_in(k0, 9), (b, h, w, c), 0, 127)
+        kern = rnd_i8(jax.random.fold_in(k0, 10), (3, 3, c, co))
+        a = jax.random.uniform(jax.random.fold_in(k0, 11), (co,), jnp.float32,
+                               1e-3, 2e-3)
+        bias = 0.1 * jax.random.normal(jax.random.fold_in(k0, 12), (co,),
+                                       jnp.float32)
+        os_ = jnp.float32(0.7)
+        got = jax.jit(lambda t: qconv3x3_nhwc_requant(
+            pad_nhwc(t), kern, a, bias, os_, th=8, interpret=interp))(x)
+        ref = jax.jit(lambda t: _requant(jax.nn.relu(
+            _conv3x3_i8(t, {"kernel": kern}).astype(jnp.float32) * a + bias),
+            os_))(x)
+        mm = mismatches(got, ref)
+        assert mm == 0, f"{mm} mismatches"
+        return f"bit-exact rolling-carry ({b},{h},{w},{c}) th=8"
+
+    def gate_nhwc_pair():
+        from twinvoice_tpu.infer.quant import _conv3x3_i8, _requant
+        from twinvoice_tpu.ops.nhwc_conv import (
+            from_phase_b, pack_w_pair, qconv3x3_pair_requant, to_phase_a,
+        )
+
+        b, h, w, c, co = 4, 128, 128, 64, 64
+        x = rnd_i8(jax.random.fold_in(k0, 13), (b, h, w, c), 0, 127)
+        kern = rnd_i8(jax.random.fold_in(k0, 14), (3, 3, c, co))
+        a = jax.random.uniform(jax.random.fold_in(k0, 15), (co,), jnp.float32,
+                               1e-3, 2e-3)
+        bias = 0.1 * jax.random.normal(jax.random.fold_in(k0, 16), (co,),
+                                       jnp.float32)
+        os_ = jnp.float32(0.9)
+        wp = jnp.asarray(pack_w_pair(np.asarray(kern)))
+        got = jax.jit(lambda t: from_phase_b(qconv3x3_pair_requant(
+            to_phase_a(t), wp, jnp.tile(a, 2), jnp.tile(bias, 2), os_,
+            in_phase="A", th=8, interpret=interp)))(x)
+        ref = jax.jit(lambda t: _requant(jax.nn.relu(
+            _conv3x3_i8(t, {"kernel": kern}).astype(jnp.float32) * a + bias),
+            os_))(x)
+        mm = mismatches(got, ref)
+        assert mm == 0, f"{mm} mismatches"
+        return "bit-exact pair kernel A->B phase chain"
+
+    check("postprocess", gate_postprocess)
+    check("pallas_head", gate_head)
+    check("qconv_frame_trunk", gate_qconv_frame)
+    check("frame_maxpool", gate_pool)
+    check("nhwc_rolling_carry", gate_nhwc_single)
+    check("nhwc_pair_chain", gate_nhwc_pair)
+
+    n_fail = sum(1 for _, ok in RESULTS if not ok)
+    print(f"gate: {len(RESULTS) - n_fail}/{len(RESULTS)} kernels exact "
+          f"({'GREEN' if n_fail == 0 else 'RED'})", flush=True)
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
