@@ -22,12 +22,12 @@ def main(weights=None, n_batches=6, batch=64):
     from twinvoice_tpu.ocr.jaxocr import data as D
     from twinvoice_tpu.ocr.jaxocr.model import crnn_apply
     from twinvoice_tpu.ocr.jaxocr.train import (
-        DEFAULT_WEIGHTS_PATH, _levenshtein, load_weights,
+        DEFAULT_WEIGHTS_PATH, _levenshtein, load_weights_ex,
     )
 
-    params, state, charset = load_weights(weights or DEFAULT_WEIGHTS_PATH)
+    params, state, charset, arch = load_weights_ex(weights or DEFAULT_WEIGHTS_PATH)
     has_cjk = any(ord(c) > 0x2E00 for c in charset.chars)
-    infer = jax.jit(lambda p, s, x: crnn_apply(p, s, x, train=False)[0])
+    infer = jax.jit(lambda p, s, x: crnn_apply(p, s, x, train=False, arch=arch)[0])
 
     rng = np.random.default_rng(4242)
     stats = {}

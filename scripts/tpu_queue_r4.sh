@@ -45,6 +45,13 @@ timeout 10800 python scripts/eval_gauntlet.py --n 25 \
 echo "=== R8. train sweep incl. remat-from-bs16 (VERDICT r2 #6 leftover) ==="
 timeout 3600 python scripts/bench_train.py --sweep 2>&1 | tail -14
 
+echo "=== R8b. recognizer v4 retrain: t64 arch + confusion-weighted sampling (VERDICT #5) ==="
+timeout 7200 python -m twinvoice_tpu.ocr.jaxocr.train 9000 /tmp/jaxocr_v4_t64.npz \
+    --cjk --cache=400 2>&1 | tail -20
+
+echo "=== R8c. recognizer v4 eval (warped ASCII/CJK eval) ==="
+timeout 1800 python scripts/eval_jaxocr_cjk.py /tmp/jaxocr_v4_t64.npz 2>&1 | tail -12
+
 echo "=== R9. w64 full retrain: 70 epochs = through the T0=10/Tmult=2 cycle (VERDICT #2a) ==="
 timeout 21600 python scripts/train_synthetic_segmenter.py \
     --width 64 --epochs 70 --out /tmp/seg_v5_w64.npz --eval-n 25 2>&1 | tail -40

@@ -226,3 +226,29 @@ def test_split_lines_tall_single_line_not_split():
     d.text((10, 120), "2024/03/15", fill=0, font=font)
     parts2 = JaxOcrEngine._split_lines(img2)
     assert len(parts2) == 2
+
+
+def test_t64_arch_shapes_and_roundtrip(tmp_path):
+    """The t64 arch (height-only third pool) doubles CTC time frames with
+    IDENTICAL parameter shapes; the arch tag survives a save/load."""
+    import jax
+    import jax.numpy as jnp
+
+    from twinvoice_tpu.ocr.jaxocr.model import (
+        TIME_STEPS_T64, crnn_apply, init_crnn)
+    from twinvoice_tpu.ocr.jaxocr.train import load_weights_ex, save_weights
+
+    params, state = init_crnn(jax.random.key(1))
+    x = jnp.zeros((2, 32, 256, 1), jnp.float32)
+    logits, _ = crnn_apply(params, state, x, arch="t64")
+    assert logits.shape == (2, TIME_STEPS_T64, NUM_CLASSES)
+
+    path = str(tmp_path / "w64.npz")
+    save_weights(path, params, state, arch="t64")
+    p2, s2, cs, arch = load_weights_ex(path)
+    assert arch == "t64"
+    # legacy 3-tuple loader still works on the same file
+    from twinvoice_tpu.ocr.jaxocr.train import load_weights
+
+    p3, s3, cs3 = load_weights(path)
+    assert cs3.num_classes == cs.num_classes

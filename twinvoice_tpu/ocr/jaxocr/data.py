@@ -82,9 +82,25 @@ def random_field_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> s
     kind = rng.integers(0, 6)
     letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
     if kind in (0, 5):  # invoice number, possibly hyphenated (oversampled)
-        no = "".join(rng.choice(list(letters), 2)) + "".join(
-            rng.choice(list("0123456789"), 8)
-        )
+        # confusion-pair-weighted sampling (r4 error analysis): the misses
+        # concentrate on O/0, S/5/6, B/8/V, I/1/J/L and on doubled digits
+        # (CTC must emit a blank between repeats) — oversample both so the
+        # model sees the hard cases far more often than uniform sampling
+        # would produce.
+        if rng.random() < 0.45:
+            hard = "OSBIJLVQDGUZ"
+            pre = "".join(rng.choice(list(hard), 2))
+        else:
+            pre = "".join(rng.choice(list(letters), 2))
+        digits = list(rng.choice(list("0123456789"), 8))
+        if rng.random() < 0.35:  # force a doubled digit pair
+            i = int(rng.integers(0, 7))
+            digits[i + 1] = digits[i]
+        if rng.random() < 0.3:  # bias toward the confusable digits
+            for i in range(8):
+                if rng.random() < 0.4:
+                    digits[i] = str(rng.choice(list("0156889")))
+        no = pre + "".join(digits)
         return no if rng.random() < 0.5 else no[:2] + "-" + no[2:]
     if kind == 1:  # western date
         sep = rng.choice(["-", "/", "."])

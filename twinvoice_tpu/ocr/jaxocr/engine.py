@@ -90,17 +90,21 @@ class JaxOcrEngine:
     name = "jaxocr"
 
     def __init__(self, weights_dir: Optional[str] = None, params=None, state=None,
-                 charset: Charset = DEFAULT):
+                 charset: Charset = DEFAULT, arch: str = "t32"):
         import jax
 
         self._jax = jax
         self.charset = charset
+        self.arch = arch
         if params is None:
-            from twinvoice_tpu.ocr.jaxocr.train import DEFAULT_WEIGHTS_PATH, load_weights
+            from twinvoice_tpu.ocr.jaxocr.train import (
+                DEFAULT_WEIGHTS_PATH,
+                load_weights_ex,
+            )
 
             wd = weights_dir or DEFAULT_WEIGHTS_PATH
             try:
-                params, state, self.charset = load_weights(wd)
+                params, state, self.charset, self.arch = load_weights_ex(wd)
             except Exception:
                 params = state = None
         self._params = params
@@ -108,8 +112,10 @@ class JaxOcrEngine:
         if params is not None:
             import jax.numpy as jnp
 
+            arch = self.arch
+
             def _infer(p, s, x):
-                logits = crnn_apply(p, s, x, train=False)[0]
+                logits = crnn_apply(p, s, x, train=False, arch=arch)[0]
                 probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
                 ids = jnp.argmax(logits, axis=-1)
                 # confidence: mean top-1 probability over non-blank frames

@@ -21,7 +21,8 @@ from twinvoice_tpu.ocr.jaxocr.charset import NUM_CLASSES
 
 IMG_H = 32
 IMG_W = 256
-TIME_STEPS = IMG_W // 8  # 3 pools of 2 → 32 steps
+TIME_STEPS = IMG_W // 8      # legacy 't32' arch: 3 2×2 pools → 32 steps
+TIME_STEPS_T64 = IMG_W // 4  # 't64' arch: last pool is height-only → 64 steps
 
 _CONV_CHANNELS = (32, 64, 96, 128)
 _CONTEXT = 256
@@ -49,10 +50,21 @@ def init_crnn(key, *, dtype=jnp.float32, num_classes=NUM_CLASSES):
     return params, state
 
 
-def crnn_apply(params, state, x, *, train=False):
+def crnn_apply(params, state, x, *, train=False, arch="t32"):
     """``x``: (B, 32, 256, 1) float in [0,1] (dark text on light bg is fine;
-    the first BN normalizes polarity). Returns (logits (B, 32, classes), state).
+    the first BN normalizes polarity). Returns (logits (B, T, classes), state).
+
+    ``arch``: "t32" (legacy, 3 symmetric pools → T=32) or "t64" (the third
+    pool collapses height only → T=64). Parameter shapes are IDENTICAL
+    between the two — only the pooling plan differs — so the arch a weights
+    file was trained for is recorded in the file (train.save_weights) and
+    must be passed here. T=64 exists because the error analysis
+    (scripts/ocr_error_analysis.py) showed CTC frame starvation: at T=32 a
+    13-char invoice-no string gets ~2.4 frames/char and the dominant error
+    class was character DELETIONS.
     """
+    from jax import lax
+
     new_state = {"bn": [], "ctx_bn": []}
     h = x
     for i, (cp, bp) in enumerate(zip(params["conv"], params["bn"])):
@@ -61,7 +73,13 @@ def crnn_apply(params, state, x, *, train=False):
         new_state["bn"].append(s)
         h = jax.nn.relu(h)
         if i < 3:
-            h = max_pool2(h)
+            if i == 2 and arch == "t64":
+                # height-only pool: keep the time axis at IMG_W//4
+                h = lax.reduce_window(
+                    h, -jnp.inf, lax.max, (1, 2, 1, 1), (1, 2, 1, 1), "VALID"
+                )
+            else:
+                h = max_pool2(h)
     # (B, 4, 32, 128) → time-major sequence (B, 1, 32, 512)
     b, hh, ww, cc = h.shape
     h = jnp.transpose(h, (0, 2, 1, 3)).reshape(b, 1, ww, hh * cc)

@@ -24,10 +24,10 @@ DEFAULT_WEIGHTS_PATH = os.path.join(os.path.dirname(__file__), "weights.npz")
 DEFAULT_WEIGHTS_DIR = DEFAULT_WEIGHTS_PATH  # backwards-friendly alias
 
 
-def make_train_step(optimizer):
+def make_train_step(optimizer, arch="t32"):
     def step(params, state, opt_state, imgs, labels, label_pad):
         def loss_fn(p):
-            logits, new_state = crnn_apply(p, state, imgs, train=True)
+            logits, new_state = crnn_apply(p, state, imgs, train=True, arch=arch)
             logit_pad = jnp.zeros(logits.shape[:2], jnp.float32)  # all frames valid
             loss = jnp.mean(
                 optax.ctc_loss(
@@ -44,9 +44,10 @@ def make_train_step(optimizer):
     return jax.jit(step, donate_argnums=(0, 1, 2))
 
 
-def evaluate(params, state, rng, n_batches=4, batch_size=64, charset=DEFAULT):
+def evaluate(params, state, rng, n_batches=4, batch_size=64, charset=DEFAULT,
+             arch="t32"):
     """→ (exact-match rate, char error rate) on fresh synthetic batches."""
-    infer = jax.jit(lambda p, s, x: crnn_apply(p, s, x, train=False)[0])
+    infer = jax.jit(lambda p, s, x: crnn_apply(p, s, x, train=False, arch=arch)[0])
     exact = total = 0
     errs = chars = 0
     for _ in range(n_batches):
@@ -74,10 +75,11 @@ def _levenshtein(a: str, b: str) -> int:
     return prev[-1]
 
 
-def save_weights(out_path, params, state, charset: Charset = DEFAULT):
-    """Portable flat .npz; embeds the charset so the file is self-describing
-    (no device/sharding metadata — loads anywhere)."""
-    flat = {"charset": np.array(charset.chars)}
+def save_weights(out_path, params, state, charset: Charset = DEFAULT,
+                 arch="t32"):
+    """Portable flat .npz; embeds the charset AND the pooling arch so the
+    file is self-describing (no device/sharding metadata — loads anywhere)."""
+    flat = {"charset": np.array(charset.chars), "arch": np.array(arch)}
     for prefix, tree in (("p", params), ("s", state)):
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             key = prefix + "/" + jax.tree_util.keystr(path)
@@ -86,10 +88,17 @@ def save_weights(out_path, params, state, charset: Charset = DEFAULT):
 
 
 def load_weights(weights_path=DEFAULT_WEIGHTS_PATH):
-    """→ (params, state, charset) — charset read from the file (older files
-    without one get the default ASCII field charset)."""
+    """→ (params, state, charset); see :func:`load_weights_ex` for the arch."""
+    return load_weights_ex(weights_path)[:3]
+
+
+def load_weights_ex(weights_path=DEFAULT_WEIGHTS_PATH):
+    """→ (params, state, charset, arch) — charset and pooling arch read
+    from the file (older files without them get the ASCII charset / the
+    legacy "t32" arch)."""
     with np.load(weights_path) as z:
         charset = Charset(str(z["charset"])) if "charset" in z else Charset(CHARSET)
+        arch = str(z["arch"]) if "arch" in z else "t32"
         template_p, template_s = init_crnn(
             jax.random.key(0), num_classes=charset.num_classes
         )
@@ -102,22 +111,30 @@ def load_weights(weights_path=DEFAULT_WEIGHTS_PATH):
             ]
             return jax.tree_util.tree_unflatten(treedef, leaves)
 
-        return rebuild("p", template_p), rebuild("s", template_s), charset
+        return rebuild("p", template_p), rebuild("s", template_s), charset, arch
 
 
 def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR,
-          log=print, charset: Charset = DEFAULT, cache_batches: int = 0):
+          log=print, charset: Charset = DEFAULT, cache_batches: int = 0,
+          arch="t64", resume_from=None):
     """``cache_batches``: when >0, pre-render that many batches once and
     cycle them (fresh randomness per render). CJK stroke rendering on a
     1-core host otherwise starves the device; eval always uses fresh
     batches, so the reported accuracy is not memorization."""
     rng = np.random.default_rng(seed)
-    params, state = init_crnn(jax.random.key(seed), num_classes=charset.num_classes)
+    if resume_from:
+        params, state, cs2, a2 = load_weights_ex(resume_from)
+        assert a2 == arch and cs2.chars == charset.chars, (
+            "resume_from arch/charset mismatch")
+        log(f"warm-starting from {resume_from}")
+    else:
+        params, state = init_crnn(jax.random.key(seed),
+                                  num_classes=charset.num_classes)
     optimizer = optax.adamw(
         optax.warmup_cosine_decay_schedule(0.0, lr, 100, steps), weight_decay=1e-5
     )
     opt_state = optimizer.init(params)
-    step_fn = make_train_step(optimizer)
+    step_fn = make_train_step(optimizer, arch=arch)
 
     pool = None
     if cache_batches:
@@ -138,9 +155,14 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
         )
         if it % 200 == 0 or it == 1:
             log(f"step {it}/{steps} loss {float(loss):.4f} ({time.time()-t0:.0f}s)")
-    acc, cer = evaluate(params, state, np.random.default_rng(seed + 1), charset=charset)
+        if it % 1000 == 0 and it < steps:
+            # periodic snapshot: a multi-hour CPU run must survive a kill
+            save_weights(out_dir, params, state, charset, arch=arch)
+            log(f"snapshot saved at step {it}")
+    acc, cer = evaluate(params, state, np.random.default_rng(seed + 1),
+                        charset=charset, arch=arch)
     log(f"eval: exact={acc:.3f} cer={cer:.4f}")
-    save_weights(out_dir, params, state, charset)
+    save_weights(out_dir, params, state, charset, arch=arch)
     log(f"saved weights to {out_dir}")
     return params, state, {"exact": acc, "cer": cer}
 
@@ -154,7 +176,12 @@ if __name__ == "__main__":
 
         cs = cjk_charset()
     cache = 0
+    resume = None
     for a in sys.argv:
         if a.startswith("--cache="):
             cache = int(a.split("=")[1])
-    train(steps=n, out_dir=out, charset=cs, cache_batches=cache)
+        if a.startswith("--resume="):
+            resume = a.split("=", 1)[1]
+    arch = "t32" if "--t32" in sys.argv else "t64"
+    train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
+          resume_from=resume)
