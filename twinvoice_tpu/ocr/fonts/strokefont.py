@@ -102,26 +102,52 @@ def coverage() -> frozenset:
     return frozenset(out)
 
 
-def draw_char(draw, xy, ch: str, size: int, fill=0, weight: float = 6.5):
-    """Draw one glyph with PIL ImageDraw at pixel position xy (top-left)."""
+def draw_char(draw, xy, ch: str, size: int, fill=0, weight: float = 6.5,
+              style_rng=None, jitter: float = 0.03):
+    """Draw one glyph with PIL ImageDraw at pixel position xy (top-left).
+
+    ``style_rng``/``jitter``: style randomization (VERDICT r3 #9) — when a
+    numpy Generator is given, each stroke gets a correlated joint offset
+    (whole-stroke translation, emulating component-layout variation), each
+    point a smaller independent wobble (joint jitter), and each stroke an
+    independent width multiplier (stroke-weight/contrast variation). The
+    recognizer then sees CJK *shape classes* rather than one font's exact
+    rendering — the best available proxy for pretrained-model typeface
+    generality while no real CJK TTF can ship in this environment.
+    ``jitter`` is in em fractions (0.03 ≈ 3% of the em square).
+    """
     x0, y0 = xy
     s = size / 100.0
     w = max(1, int(round(size * weight / 100.0)))
     for st in glyph_strokes(ch):
-        pts = [(x0 + px * s, y0 + py * s) for px, py in st[1:]]
+        if style_rng is not None:
+            j = jitter * size
+            dx, dy = style_rng.normal(0.0, j, 2)          # stroke offset
+            wobble = style_rng.normal(0.0, 0.4 * j, (len(st) - 1, 2))
+            pts = [
+                (x0 + px * s + dx + wx, y0 + py * s + dy + wy)
+                for (px, py), (wx, wy) in zip(st[1:], wobble)
+            ]
+            wi = max(1, int(round(w * float(style_rng.uniform(0.7, 1.35)))))
+        else:
+            pts = [(x0 + px * s, y0 + py * s) for px, py in st[1:]]
+            wi = w
         if len(pts) == 1:
             pts = pts * 2
-        draw.line(pts, fill=fill, width=w, joint="curve")
+        draw.line(pts, fill=fill, width=wi, joint="curve")
 
 
 def draw_text(draw, xy, text: str, size: int, fill=0, ascii_font=None,
-              spacing: float = 0.08, weight: float = 6.5):
+              spacing: float = 0.08, weight: float = 6.5,
+              style_rng=None, jitter: float = 0.03):
     """Draw mixed ASCII/CJK text: CJK via this stroke font, everything else
-    via the given PIL font (or PIL default). Returns total advance width."""
+    via the given PIL font (or PIL default). Returns total advance width.
+    ``style_rng``/``jitter``: see :func:`draw_char`."""
     x, y = xy
     for ch in text:
         if has_glyph(ch):
-            draw_char(draw, (x, y), ch, size, fill=fill, weight=weight)
+            draw_char(draw, (x, y), ch, size, fill=fill, weight=weight,
+                      style_rng=style_rng, jitter=jitter)
             x += size * (1.0 + spacing)
         else:
             if ascii_font is not None:

@@ -133,6 +133,10 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
         fonts.draw_text(
             draw, (pad, pad), text, size, fill=fill, ascii_font=font,
             weight=float(rng.uniform(5.0, 8.0)),
+            # style randomization: CJK shape classes, not one rendering
+            # (70% of renders jittered; the rest canonical)
+            style_rng=rng if rng.random() < 0.7 else None,
+            jitter=float(rng.uniform(0.015, 0.05)),
         )
     else:
         draw.text((pad, pad), text, fill=fill, font=font)
