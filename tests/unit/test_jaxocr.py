@@ -252,3 +252,50 @@ def test_t64_arch_shapes_and_roundtrip(tmp_path):
 
     p3, s3, cs3 = load_weights(path)
     assert cs3.num_classes == cs.num_classes
+
+
+def test_amount_mode_multicrop_voting(monkeypatch):
+    """Test-time voting: two agreeing digit-dominant variant reads outvote
+    the base read; non-digit variant reads get no vote."""
+    import numpy as np
+
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    eng = JaxOcrEngine()
+    if not eng.available():
+        import pytest
+
+        pytest.skip("bundled recognizer weights missing")
+    cs = eng.charset
+
+    def encode(text, conf, n_rows_t=64):
+        # interleave with blanks so greedy_ctc_decode returns `text`
+        row = []
+        for ch in text:
+            row += [cs.chars.index(ch) + 1, 0]
+        row += [0] * (n_rows_t - len(row))
+        return row, conf
+
+    img = np.full((40, 160), 255, np.uint8)
+    img[10:30, 10:150] = 0  # some ink so _split_lines finds one line
+
+    def fake_infer(p, s, x):
+        rows = [encode("4580", 0.9), encode("4586", 0.55),
+                encode("4586", 0.55)]
+        assert x.shape[0] == 3  # base + 2 variants
+        return (np.asarray([r for r, _ in rows]),
+                np.asarray([c for _, c in rows]))
+
+    monkeypatch.setattr(eng, "_infer", fake_infer)
+    r = eng.read_batch([img], modes=["amount"])[0]
+    assert r.text == "4586"  # 2×0.55 outvotes 1×0.9
+
+    def fake_infer2(p, s, x):
+        rows = [encode("4580", 0.9), encode("XYZQ", 0.99),
+                encode("XYZW", 0.99)]
+        return (np.asarray([r for r, _ in rows]),
+                np.asarray([c for _, c in rows]))
+
+    monkeypatch.setattr(eng, "_infer", fake_infer2)
+    r = eng.read_batch([img], modes=["amount"])[0]
+    assert r.text == "4580"  # non-digit reads don't vote

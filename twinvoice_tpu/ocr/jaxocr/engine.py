@@ -202,18 +202,33 @@ class JaxOcrEngine:
         # split read can be rejected when the unsplit read is more confident
         # (ADVICE r2: a wrongly split single line reads worse than the whole)
         parts, wholes = [], []
-        for im in images:
+        variants = []  # per image: prepared test-time variant rows
+        for im, mode in zip(images, modes):
             if im is None:
                 parts.append([])
                 wholes.append(None)
+                variants.append([])
                 continue
             lines = self._split_lines(im)
             prepped = [prepare_crop(ln) for ln in lines]
             parts.append([p for p in prepped if p is not None])
             wholes.append(prepare_crop(im) if len(lines) > 1 else None)
+            # test-time multi-crop voting (VERDICT r3 #5): single-line
+            # amount crops additionally read under two cheap source
+            # transforms (bolder ink, slight x-stretch); a 2-of-3 digit
+            # vote beats a single greedy read on photographic crops.
+            # Multi-line amount crops are excluded — their variants would
+            # re-read the joined crop, the exact trap the digit-line
+            # selection below exists to avoid.
+            if mode == "amount" and len(lines) == 1:
+                variants.append([v for v in self._amount_variants(im)
+                                 if v is not None])
+            else:
+                variants.append([])
 
         flat = [p for ps in parts for p in ps]
         flat += [w for w in wholes if w is not None]
+        flat += [v for vs in variants for v in vs]
         out = [OcrResult("", self.name) for _ in images]
         if not flat:
             return out
@@ -265,4 +280,50 @@ class JaxOcrEngine:
                 ):
                     continue
             out[i] = OcrResult(t, self.name, confidence=c)
+        # amount-mode variant rows: 2-of-3 vote among base + variants
+        for i, vs in enumerate(variants):
+            if not vs:
+                continue
+            cands = []
+            if out[i].text:
+                cands.append((out[i].text, float(out[i].confidence or 0.0)))
+            for _ in vs:
+                t = self.charset.greedy_ctc_decode(ids[k])
+                c = float(conf[k])
+                k += 1
+                if t:
+                    cands.append((t, c))
+            scores = {}
+            for t, c in cands:
+                digits = sum(ch.isdigit() for ch in t)
+                if digits == 0 or digits < len(t) * 0.6:
+                    continue  # non-digit-dominant reads don't get a vote
+                scores[t] = scores.get(t, 0.0) + c
+            if scores:
+                best = max(scores, key=lambda t: scores[t])
+                if best != out[i].text and scores[best] > float(
+                    out[i].confidence or 0.0
+                ):
+                    out[i] = OcrResult(best, self.name,
+                                       confidence=scores[best] / 2.0)
         return out
+
+    @staticmethod
+    def _amount_variants(image):
+        """Two cheap source-level transforms of an amount crop for
+        test-time voting: morphologically bolder ink and a slight
+        horizontal stretch (the two render-distribution axes the error
+        analysis showed dominate digit confusions)."""
+        import cv2
+
+        arr = np.asarray(
+            image.convert("L") if hasattr(image, "convert") else image)
+        if arr.ndim == 3:
+            arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
+        if arr.size == 0:
+            return []
+        bold = cv2.erode(arr, np.ones((2, 2), np.uint8))
+        h, w = arr.shape
+        stretch = cv2.resize(arr, (max(2, int(w * 1.12)), h),
+                             interpolation=cv2.INTER_LINEAR)
+        return [prepare_crop(bold), prepare_crop(stretch)]
