@@ -19,7 +19,8 @@ class StubSeg:
         self.single_calls += 1
         return {}, dict(self._crops)
 
-    def segment_pil_batch(self, ims, *, return_masks=True, gray_h2d=False):
+    def segment_pil_batch(self, ims, *, return_masks=True, gray_h2d=False,
+                          h2d_chunks=1):
         self.batch_calls += 1
         masks = {} if return_masks else None
         return [(masks, dict(self._crops)) for _ in ims]
@@ -91,3 +92,40 @@ def test_extract_batch_all_cached():
     a = ex.extract(imgs[0])
     b = ex.extract_batch(imgs)[0]
     assert a is b
+
+
+def test_h2d_chunked_segment_batch_identical():
+    """The pipelined (h2d_chunks>1) segmenter path is a pure batch split:
+    boxes/crops must match the one-shot path exactly."""
+    import jax
+    import jax.numpy as jnp
+
+    from tests.torch_oracle import random_state_dict
+    from twinvoice_tpu.config import InferConfig, UNetConfig
+    from twinvoice_tpu.infer.pipeline import Segmenter
+    from twinvoice_tpu.port import port_state_dict
+
+    rng = np.random.default_rng(3)
+    sd = random_state_dict(rng, widths=(8, 16, 32, 64))
+    sd["out_conv.bias"] = np.asarray([4.0, -4.0, -4.0], np.float32)
+    mcfg = UNetConfig(base_width=8)
+    params, state = port_state_dict(sd, mcfg)
+    seg = Segmenter(params, state, mcfg, InferConfig(img_size=64))
+
+    imgs = [
+        Image.fromarray(rng.integers(0, 255, (70 + 3 * i, 50 + 2 * i, 3),
+                                     dtype=np.uint8))
+        for i in range(5)
+    ]
+    one = seg.segment_pil_batch(imgs, return_masks=False)
+    chunked = seg.segment_pil_batch(imgs, return_masks=False, h2d_chunks=2)
+    assert len(one) == len(chunked) == 5
+    for (m1, c1), (m2, c2) in zip(one, chunked):
+        assert m1 is None and m2 is None
+        assert set(c1) == set(c2)
+        for f in c1:
+            if c1[f] is None:
+                assert c2[f] is None
+            else:
+                np.testing.assert_array_equal(np.asarray(c1[f]),
+                                              np.asarray(c2[f]))

@@ -116,6 +116,9 @@ class FusionConfig:
     gray_h2d: bool = True                # extract_batch: upload luminance and
     # replicate to RGB on device — 3× fewer host→device bytes (the bulk
     # path's bottleneck on relay-attached hosts); mask agreement ≥99.95%
+    h2d_chunks: int = 2                  # extract_batch: split the segmenter
+    # batch and pipeline host resize+upload of chunk k+1 under chunk k's
+    # device compute (identical results; hides the relay upload wall)
 
 
 @dataclass(frozen=True)

@@ -325,6 +325,8 @@ class InvoiceExtractor:
                     kw = {}
                     if getattr(self.cfg, "gray_h2d", False):
                         kw["gray_h2d"] = True
+                    if getattr(self.cfg, "h2d_chunks", 1) > 1:
+                        kw["h2d_chunks"] = self.cfg.h2d_chunks
                     all_crops = [
                         c for _, c in self.segmenter.segment_pil_batch(
                             imgs, return_masks=False, **kw)

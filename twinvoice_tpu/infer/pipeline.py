@@ -309,7 +309,7 @@ class Segmenter:
         return self._run(self._serve_params, imgs_u8, orig_sizes, return_masks=return_masks)
 
     def segment_pil_batch(self, pil_images, *, return_masks=True,
-                          gray_h2d=False):
+                          gray_h2d=False, h2d_chunks=1):
         """Batched PIL path: ONE device call segments all images; crops are
         sliced per image on host. Returns a list of (masks, crops) pairs
         matching :meth:`segment_pil`'s contract (used by
@@ -323,28 +323,49 @@ class Segmenter:
         ``gray_h2d=True`` uploads luminance and replicates to 3 channels
         on device — 3× fewer host→device bytes, mask agreement ≥99.95%
         (bulk-path default via FusionConfig.gray_h2d).
+
+        ``h2d_chunks>1`` splits the batch and pipelines it: while chunk k
+        computes on device, chunk k+1's host-side resize + H2D upload run
+        on the host (dispatch is async; nothing is fetched until every
+        chunk is in flight). This overlaps the relay upload — the r3 bulk
+        diagnosis' remaining wall — with device compute, the serving-side
+        analogue of the queue-depth-2 dispatch trick. Identical results to
+        the one-shot path (pure batch split).
         """
         size = self.cfg.img_size
-        if gray_h2d:
-            arrs = np.stack([
-                np.asarray(im.convert("L").resize((size, size)), np.uint8)
-                for im in pil_images
+        run = self._run_gray if gray_h2d else self._run
+        convert = "L" if gray_h2d else "RGB"
+
+        def prep(imgs):
+            return np.stack([
+                np.asarray(im.convert(convert).resize((size, size)), np.uint8)
+                for im in imgs
             ])
-            run = self._run_gray
+
+        n = len(pil_images)
+        if h2d_chunks > 1 and n >= 2 * h2d_chunks and not return_masks:
+            bounds = np.linspace(0, n, h2d_chunks + 1).astype(int)
+            pending = []
+            for a, b in zip(bounds[:-1], bounds[1:]):
+                chunk = pil_images[a:b]
+                arrs = prep(chunk)  # overlaps prior chunks' device compute
+                szs = np.asarray([im.size for im in chunk], np.int32)
+                _, cboxes, cok = run(self._serve_params, jnp.asarray(arrs),
+                                     jnp.asarray(szs), return_masks=False)
+                pending.append((cboxes, cok))
+            mask = None
+            boxes = np.concatenate([np.asarray(b) for b, _ in pending])
+            ok = np.concatenate([np.asarray(o) for _, o in pending])
         else:
-            arrs = np.stack([
-                np.asarray(im.convert("RGB").resize((size, size)), np.uint8)
-                for im in pil_images
-            ])
-            run = self._run
-        sizes = np.asarray([im.size for im in pil_images], np.int32)  # (ow, oh)
-        mask, boxes, ok = run(self._serve_params, jnp.asarray(arrs),
-                              jnp.asarray(sizes),
-                              return_masks=return_masks)
-        if return_masks:
-            mask = np.asarray(mask)
-        boxes = np.asarray(boxes)
-        ok = np.asarray(ok)
+            arrs = prep(pil_images)
+            sizes = np.asarray([im.size for im in pil_images], np.int32)
+            mask, boxes, ok = run(self._serve_params, jnp.asarray(arrs),
+                                  jnp.asarray(sizes),
+                                  return_masks=return_masks)
+            if return_masks:
+                mask = np.asarray(mask)
+            boxes = np.asarray(boxes)
+            ok = np.asarray(ok)
 
         out = []
         for bi, pil_img in enumerate(pil_images):
