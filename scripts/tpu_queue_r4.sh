@@ -56,4 +56,12 @@ echo "=== R9. w64 full retrain: 70 epochs = through the T0=10/Tmult=2 cycle (VER
 timeout 21600 python scripts/train_synthetic_segmenter.py \
     --width 64 --epochs 70 --out /tmp/seg_v5_w64.npz --eval-n 25 2>&1 | tail -40
 
+echo "=== R10. (opportunistic) hard-tier ceiling experiment: w16 @ severity 0.8 ==="
+# n=25 shows BOTH v4 models at hard-tier box-hit 0.933 (target >=0.95) —
+# a shared augmentation ceiling, not a preset regression. Candidate only;
+# no auto-promotion (compare its n=25 hard row to 0.933 first).
+timeout 14400 python scripts/train_synthetic_segmenter.py \
+    --width 16 --epochs 70 --severity 0.8 \
+    --out /tmp/seg_v5_w16_sev08.npz --eval-n 25 2>&1 | tail -40
+
 echo "=== queue r4 done ==="
