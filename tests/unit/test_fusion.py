@@ -150,9 +150,9 @@ def test_extractor_qr_wins():
 def test_extractor_ocr_fallback_priority():
     # No QR. Engine0 (higher priority) garbles invoice but has a date;
     # engine1 has a clean invoice number.
-    e0 = FakeOcrEngine(lambda img, mode: {"text": "2025-03-05"}.get("text") if mode == "text" else "100")
+    e0 = FakeOcrEngine(lambda img, mode: "2025-03-05" if mode != "amount" else "100")
     # e0 returns "2025-03-05" for both text fields → invoice regex fails, date hits
-    e1 = FakeOcrEngine(lambda img, mode: "ab12345678" if mode == "text" else "999")
+    e1 = FakeOcrEngine(lambda img, mode: "ab12345678" if mode != "amount" else "999")
     ex = InvoiceExtractor(StubSegmenter(), StubQr([]), [e0, e1], cfg=CFG)
     meta, items, _ = ex.extract(_img(1))
     assert meta["invoice_no"] == "AB12345678"

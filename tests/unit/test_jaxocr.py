@@ -254,6 +254,22 @@ def test_t64_arch_shapes_and_roundtrip(tmp_path):
     assert cs3.num_classes == cs.num_classes
 
 
+
+def _with_topk(rows):
+    """Expand stubbed (ids, conf) rows to the 5-tuple _infer contract.
+    Top-k mirrors the greedy ids; blank gets a low logp everywhere so the
+    constrained decoder sees the same reads the greedy path produced."""
+    ids = np.asarray([r for r, _ in rows])
+    conf = np.asarray([c for _, c in rows])
+    B, T = ids.shape
+    tk_ids = np.zeros((B, T, 8), np.int64)
+    tk_lp = np.full((B, T, 8), -20.0, np.float32)
+    tk_ids[:, :, 0] = ids
+    tk_lp[:, :, 0] = -0.05
+    blank = np.where(ids == 0, -0.05, -8.0).astype(np.float32)
+    return ids, conf, tk_ids, tk_lp, blank
+
+
 def test_amount_mode_multicrop_voting(monkeypatch):
     """Test-time voting: two agreeing digit-dominant variant reads outvote
     the base read; non-digit variant reads get no vote."""
@@ -283,8 +299,7 @@ def test_amount_mode_multicrop_voting(monkeypatch):
         rows = [encode("4580", 0.9), encode("4586", 0.55),
                 encode("4586", 0.55)]
         assert x.shape[0] == 3  # base + 2 variants
-        return (np.asarray([r for r, _ in rows]),
-                np.asarray([c for _, c in rows]))
+        return _with_topk(rows)
 
     monkeypatch.setattr(eng, "_infer", fake_infer)
     r = eng.read_batch([img], modes=["amount"])[0]
@@ -293,9 +308,83 @@ def test_amount_mode_multicrop_voting(monkeypatch):
     def fake_infer2(p, s, x):
         rows = [encode("4580", 0.9), encode("XYZQ", 0.99),
                 encode("XYZW", 0.99)]
-        return (np.asarray([r for r, _ in rows]),
-                np.asarray([c for _, c in rows]))
+        return _with_topk(rows)
 
     monkeypatch.setattr(eng, "_infer", fake_infer2)
     r = eng.read_batch([img], modes=["amount"])[0]
     assert r.text == "4580"  # non-digit reads don't vote
+
+
+def _frames(charset, entries, K=3):
+    """Build (tk_ids, tk_lp, blank_lp) from [(char_or_None, alts), ...]
+    where alts = [(char, logp), ...]; None = blank-dominated frame."""
+    tk_ids, tk_lp, blank = [], [], []
+    for alts in entries:
+        row_ids, row_lp = [], []
+        for ch, lp in alts:
+            cid = 0 if ch is None else charset._to_id[ch]
+            row_ids.append(cid)
+            row_lp.append(lp)
+        while len(row_ids) < K:
+            row_ids.append(row_ids[-1])
+            row_lp.append(-20.0)
+        tk_ids.append(row_ids[:K])
+        tk_lp.append(row_lp[:K])
+        blank.append(alts[0][1] if alts[0][0] is None else -8.0)
+    return (np.asarray(tk_ids), np.asarray(tk_lp, np.float32),
+            np.asarray(blank, np.float32))
+
+
+def test_constrained_decode_fixes_letter_digit_confusion():
+    from twinvoice_tpu.ocr.jaxocr.charset import (
+        DEFAULT, INVOICE_PATTERN, constrained_ctc_decode)
+
+    # 'A' frame where '4' narrowly wins greedy; letter slot forces 'A'
+    entries = [[("4", -0.4), ("A", -1.2)]]
+    for ch in "B12345678":
+        entries.append([(ch, -0.05), (None, -4.0)])
+        entries.append([(None, -0.05), (ch, -4.0)])  # blank separator
+    tk_ids, tk_lp, blank = _frames(DEFAULT, entries)
+    text, lp = constrained_ctc_decode(DEFAULT, tk_ids, tk_lp, blank,
+                                      INVOICE_PATTERN)
+    assert text == "AB12345678"
+    # and the greedy read really was wrong
+    greedy = DEFAULT.greedy_ctc_decode(tk_ids[:, 0])
+    assert greedy.startswith("4")
+
+
+def test_constrained_decode_optional_hyphen_and_reject():
+    from twinvoice_tpu.ocr.jaxocr.charset import (
+        DEFAULT, INVOICE_PATTERN, constrained_ctc_decode)
+
+    entries = []
+    for ch in "AB-12345678":
+        entries.append([(ch, -0.05), (None, -4.0)])
+        entries.append([(None, -0.05), (ch, -4.0)])
+    tk_ids, tk_lp, blank = _frames(DEFAULT, entries)
+    text, _ = constrained_ctc_decode(DEFAULT, tk_ids, tk_lp, blank,
+                                     INVOICE_PATTERN)
+    assert text == "AB-12345678"
+
+    # a crop with no letter/digit mass anywhere → no valid path
+    entries = [[(":", -0.1), ("$", -1.0)]] * 6
+    tk_ids, tk_lp, blank = _frames(DEFAULT, entries)
+    text, lp = constrained_ctc_decode(DEFAULT, tk_ids, tk_lp, blank,
+                                      INVOICE_PATTERN)
+    assert text is None
+
+
+def test_constrained_decode_repeated_digits():
+    """CTC repeat rule: '11' needs a blank between emissions; the automaton
+    must still accept doubled digits."""
+    from twinvoice_tpu.ocr.jaxocr.charset import (
+        DEFAULT, INVOICE_PATTERN, constrained_ctc_decode)
+
+    entries = []
+    for ch in "XY11223344":
+        entries.append([(ch, -0.05), (None, -4.0)])
+        entries.append([(None, -0.05), (ch, -4.0)])
+    tk_ids, tk_lp, blank = _frames(DEFAULT, entries)
+    text, _ = constrained_ctc_decode(DEFAULT, tk_ids, tk_lp, blank,
+                                     INVOICE_PATTERN)
+    assert text == "XY11223344"

@@ -37,7 +37,12 @@ from twinvoice_tpu.utils.tracing import trace_span
 _INVOICE_NO_RE = re.compile(r"[A-Z]{2}\d{8}")
 _OCR_DATE_RE = re.compile(r"(20\d{2})[/-](\d{2})[/-](\d{1,2})")
 
-_FIELD_MODES = {"invoice_no": "text", "date": "text", "total_amount": "amount"}
+# per-field OCR modes: rigid-format fields advertise their format so
+# engines can constrain decoding (jaxocr runs a pattern-automaton Viterbi
+# for "invoice"/"date"); engines that only distinguish amount-vs-text
+# treat anything != "amount" as text
+_FIELD_MODES = {"invoice_no": "invoice", "date": "date",
+                "total_amount": "amount"}
 
 
 def empty_meta() -> dict:

@@ -29,7 +29,7 @@ def enhance_for_ocr(image, mode: str = "text", upscale: int = 4) -> np.ndarray:
     gray = cv2.filter2D(gray, -1, _SHARPEN)
     clahe = cv2.createCLAHE(clipLimit=4.0, tileGridSize=(8, 8))
     gray = clahe.apply(gray)
-    if mode == "text":
+    if mode != "amount":  # text-like modes (text/invoice/date) get Otsu
         _, gray = cv2.threshold(gray, 0, 255, cv2.THRESH_OTSU)
     return gray
 

@@ -51,12 +51,124 @@ DEFAULT = Charset(CHARSET)
 NUM_CLASSES = DEFAULT.num_classes
 
 
+# ------------------------------------------------------------------ patterns
+#
+# Format-constrained CTC decoding (r4). TW invoice fields have rigid
+# formats — [A-Z]{2}\d{8} invoice numbers, numeric dates, integer amounts
+# — so instead of greedy argmax + regex repair, the decoder can run a
+# Viterbi pass over the field's pattern automaton: every frame's
+# probability mass is kept, and a frame where '0' narrowly beats 'O' in a
+# letter slot still decodes to 'O'. This is the principled version of
+# EasyOCR's `allowlist` (reference app_camera.py:824-833 relies on the
+# pretrained model + post-regex instead).
+#
+# A pattern is a list of slots (allowed_chars, optional). Helpers below
+# unroll (chars, min, max) repeat specs into optional-slot runs.
+
+_LETTERS = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_DIGITS = "0123456789"
+
+
+def unroll_pattern(spec):
+    """[(chars, min_rep, max_rep), ...] → [(chars, optional), ...]."""
+    slots = []
+    for chars, lo, hi in spec:
+        slots += [(chars, False)] * lo + [(chars, True)] * (hi - lo)
+    return slots
+
+
+INVOICE_PATTERN = unroll_pattern(
+    [(_LETTERS, 2, 2), ("-", 0, 1), (_DIGITS, 8, 8)]
+)
+DATE_PATTERN = unroll_pattern(
+    [(_DIGITS, 4, 4), ("-/.", 1, 1), (_DIGITS, 2, 2), ("-/.", 1, 1),
+     (_DIGITS, 1, 2)]
+)
+AMOUNT_PATTERN = unroll_pattern([(_DIGITS + ",", 1, 9)])
+
+FIELD_PATTERNS = {
+    "invoice": INVOICE_PATTERN,
+    "date": DATE_PATTERN,
+    "amount": AMOUNT_PATTERN,
+}
+
+
 def cjk_charset() -> Charset:
     """ASCII field charset + every glyph the stroke font covers."""
     from twinvoice_tpu.ocr.fonts import strokefont
 
     cjk = "".join(sorted(strokefont.coverage()))
     return Charset(CHARSET + cjk)
+
+
+def _epsilon_targets(slots, s):
+    """Emission positions reachable from slot s via optional-slot skips."""
+    out = [s]
+    j = s
+    while j < len(slots) and slots[j][1]:
+        j += 1
+        out.append(j)
+    return out
+
+
+def _accepts(slots, s):
+    """Can the automaton finish from slot position s (rest all optional)?"""
+    return all(opt for _, opt in slots[s:])
+
+
+def constrained_ctc_decode(charset: Charset, topk_ids, topk_logp, blank_logp,
+                           slots, beam: int = 64):
+    """Viterbi/beam decode of CTC frame posteriors against a slot pattern.
+
+    ``topk_ids``/``topk_logp``: (T, K) per-frame top-K class ids and log
+    probabilities; ``blank_logp``: (T,) exact blank log-prob per frame
+    (blank may fall outside the top-K); ``slots``: [(allowed_chars,
+    optional)] from :func:`unroll_pattern`.
+
+    Returns ``(text, path_logp)`` for the best frame path whose emitted
+    string matches the pattern, or ``(None, -inf)`` when no top-K path
+    does. CTC semantics: repeats collapse unless separated by blank.
+    """
+    L = len(slots)
+    allowed = [set(ch) for ch, _ in slots]
+    # state: (slot_pos, last_emitted_id) -> (score, text)
+    states = {(0, 0): (0.0, "")}
+    T = len(topk_ids)
+    for t in range(T):
+        nxt = {}
+
+        def push(key, sc, tx):
+            cur = nxt.get(key)
+            if cur is None or sc > cur[0]:
+                nxt[key] = (sc, tx)
+
+        b_lp = float(blank_logp[t])
+        cands = [(int(i), float(lp))
+                 for i, lp in zip(topk_ids[t], topk_logp[t])]
+        for (s, last), (sc, tx) in states.items():
+            push((s, 0), sc + b_lp, tx)  # blank frame
+            for cid, lp in cands:
+                if cid == 0:
+                    continue  # blank handled exactly above
+                if cid == last:
+                    push((s, last), sc + lp, tx)  # repeat-collapse
+                    continue
+                ch = charset._to_char.get(cid)
+                if ch is None:
+                    continue
+                for s2 in _epsilon_targets(slots, s):
+                    if s2 < L and ch in allowed[s2]:
+                        push((s2 + 1, cid), sc + lp, tx + ch)
+        if len(nxt) > beam:
+            nxt = dict(sorted(nxt.items(), key=lambda kv: -kv[1][0])[:beam])
+        states = nxt
+        if not states:
+            return None, float("-inf")
+    best, best_sc = None, float("-inf")
+    for (s, _), (sc, tx) in states.items():
+        if _accepts(slots, s) and sc > best_sc:
+            best, best_sc = tx, sc
+    return best, best_sc
 
 
 # module-level functions kept for existing callers (default charset)

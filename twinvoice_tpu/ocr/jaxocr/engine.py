@@ -116,7 +116,8 @@ class JaxOcrEngine:
 
             def _infer(p, s, x):
                 logits = crnn_apply(p, s, x, train=False, arch=arch)[0]
-                probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+                logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                probs = jnp.exp(logp)
                 ids = jnp.argmax(logits, axis=-1)
                 # confidence: mean top-1 probability over non-blank frames
                 top = jnp.max(probs, axis=-1)
@@ -124,7 +125,11 @@ class JaxOcrEngine:
                 conf = jnp.sum(top * nonblank, axis=-1) / jnp.maximum(
                     jnp.sum(nonblank, axis=-1), 1
                 )
-                return ids, conf
+                # per-frame top-K posteriors for format-constrained decoding
+                # (charset.constrained_ctc_decode); K=8 keeps the fetch at
+                # ~4 KB/row vs ~100 KB for the full (T, classes) posterior
+                tk_lp, tk_ids = jax.lax.top_k(logp, 8)
+                return ids, conf, tk_ids, tk_lp, logp[..., 0]
 
             self._infer = jax.jit(_infer)
 
@@ -232,20 +237,24 @@ class JaxOcrEngine:
         out = [OcrResult("", self.name) for _ in images]
         if not flat:
             return out
-        ids, conf = self._infer(
+        ids, conf, tk_ids, tk_lp, blank_lp = self._infer(
             self._params, self._state, jnp.asarray(np.stack(flat)[..., None])
         )
         ids, conf = np.asarray(ids), np.asarray(conf)
+        tk_ids, tk_lp = np.asarray(tk_ids), np.asarray(tk_lp)
+        blank_lp = np.asarray(blank_lp)
 
         k = 0
         amount_line_pick = [False] * len(images)
+        chosen_row = [None] * len(images)  # batch row backing out[i]
         for i, ps in enumerate(parts):
-            texts, confs = [], []
+            texts, confs, rows = [], [], []
             for _ in ps:
                 t = self.charset.greedy_ctc_decode(ids[k])
                 if t:
                     texts.append(t)
                     confs.append(float(conf[k]))
+                    rows.append(k)
                 k += 1
             if not texts:
                 continue
@@ -256,13 +265,16 @@ class JaxOcrEngine:
                 j = max(range(len(texts)), key=lambda j: (digits[j], j))
                 out[i] = OcrResult(texts[j], self.name, confidence=confs[j])
                 amount_line_pick[i] = True
+                chosen_row[i] = rows[j]
             else:
                 c = float(np.mean(confs))
                 out[i] = OcrResult(" ".join(texts), self.name, confidence=c)
+                chosen_row[i] = rows[0] if len(rows) == 1 else None
         # whole-crop fallback rows (appended after all split parts)
         for i, w in enumerate(wholes):
             if w is None:
                 continue
+            wk = k
             t = self.charset.greedy_ctc_decode(ids[k])
             c = float(conf[k])
             k += 1
@@ -280,7 +292,9 @@ class JaxOcrEngine:
                 ):
                     continue
             out[i] = OcrResult(t, self.name, confidence=c)
-        # amount-mode variant rows: 2-of-3 vote among base + variants
+            chosen_row[i] = wk
+        # amount-mode variant rows: 2-of-3 vote among base + variants,
+        # plus a format-constrained candidate from the base row
         for i, vs in enumerate(variants):
             if not vs:
                 continue
@@ -293,6 +307,17 @@ class JaxOcrEngine:
                 k += 1
                 if t:
                     cands.append((t, c))
+            base_digits = sum(ch.isdigit() for ch in out[i].text)
+            if not out[i].text or base_digits < len(out[i].text) * 0.6:
+                # base greedy read wouldn't even qualify for the vote —
+                # let the pattern-constrained re-read of the same frames
+                # stand in for it (when base is already digit-clean the
+                # constrained read would just duplicate it and
+                # double-count the base row against the variants)
+                cc = self._constrained(chosen_row[i], "amount",
+                                       tk_ids, tk_lp, blank_lp)
+                if cc is not None:
+                    cands.append(cc)
             scores = {}
             for t, c in cands:
                 digits = sum(ch.isdigit() for ch in t)
@@ -306,7 +331,53 @@ class JaxOcrEngine:
                 ):
                     out[i] = OcrResult(best, self.name,
                                        confidence=scores[best] / 2.0)
+        # format-constrained decode for rigid-format fields (r4): when the
+        # greedy read of an invoice-no / date crop doesn't already contain
+        # a well-formed value, re-decode the SAME frame posteriors against
+        # the field's pattern automaton — a frame where '0' narrowly beats
+        # 'O' in a letter slot then still decodes to 'O'.
+        import re
+
+        for i, mode in enumerate(modes):
+            if mode not in ("invoice", "date"):
+                continue
+            rx = (r"[A-Z]{2}-?\d{8}" if mode == "invoice"
+                  else r"\d{4}[-/.]\d{2}[-/.]\d{1,2}")
+            if out[i].text and re.search(rx, out[i].text.upper()):
+                continue  # greedy read is already well-formed
+            cc = self._constrained(chosen_row[i], mode,
+                                   tk_ids, tk_lp, blank_lp)
+            if cc is not None:
+                out[i] = OcrResult(cc[0], self.name, confidence=cc[1])
         return out
+
+    # margin (nats) by which a pattern-constrained path may trail the
+    # unconstrained greedy path before it is rejected as a fabrication
+    # (a garbage crop forced through the automaton scores far below the
+    # greedy path; a one-confusion fix scores just below it)
+    CONSTRAINED_TAU = 20.0
+
+    def _constrained(self, row, mode, tk_ids, tk_lp, blank_lp):
+        """Pattern-constrained decode of batch row ``row``; returns
+        (text, pseudo_confidence) or None (no valid path / margin fail)."""
+        if row is None:
+            return None
+        from twinvoice_tpu.ocr.jaxocr.charset import (
+            FIELD_PATTERNS,
+            constrained_ctc_decode,
+        )
+
+        text, path_lp = constrained_ctc_decode(
+            self.charset, tk_ids[row], tk_lp[row], blank_lp[row],
+            FIELD_PATTERNS[mode],
+        )
+        if text is None:
+            return None
+        greedy_lp = float(tk_lp[row, :, 0].sum())
+        if path_lp < greedy_lp - self.CONSTRAINED_TAU:
+            return None
+        T = tk_ids.shape[1]
+        return text, float(np.exp((path_lp - greedy_lp) / T))
 
     @staticmethod
     def _amount_variants(image):
