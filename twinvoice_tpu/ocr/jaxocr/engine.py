@@ -260,9 +260,21 @@ class JaxOcrEngine:
                 continue
             if len(texts) > 1 and modes[i] == "amount":
                 # a joined multi-line read would concatenate digits from
-                # unrelated lines; keep the line with the most digits
+                # unrelated lines; keep the line with the most digits —
+                # but date-shaped lines are disqualified first (r4 e2e
+                # diagnosis: a date line has 8 digits and outscored the
+                # 5-digit amount, so '24195' extracted as '202801')
+                import re as _re
+
+                def _datey(t):
+                    return bool(
+                        _re.search(r"(19|20)\d{2}[-/.]\d{1,2}[-/.]\d{1,2}", t)
+                        or _re.fullmatch(r"(19|20)\d{6}", _re.sub(r"\D", "", t))
+                    )
+
                 digits = [sum(ch.isdigit() for ch in t) for t in texts]
-                j = max(range(len(texts)), key=lambda j: (digits[j], j))
+                j = max(range(len(texts)),
+                        key=lambda j: (not _datey(texts[j]), digits[j], j))
                 out[i] = OcrResult(texts[j], self.name, confidence=confs[j])
                 amount_line_pick[i] = True
                 chosen_row[i] = rows[j]
