@@ -138,6 +138,17 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
             style_rng=rng if rng.random() < 0.7 else None,
             jitter=float(rng.uniform(0.015, 0.05)),
         )
+    elif rng.random() < 0.5:
+        # per-char rendering with tracking + baseline jitter (r4): the
+        # held-out-font e2e misses are single-glyph shape confusions
+        # (A→N, M→W, J→I...) — spacing/baseline variety pushes the model
+        # toward glyph shape classes instead of one metric layout
+        x = float(pad)
+        for ch in text:
+            dy = float(rng.normal(0, 1.0)) * size / 24.0
+            draw.text((x, pad + dy), ch, fill=fill, font=font)
+            adv = draw.textlength(ch, font=font)
+            x += adv * float(rng.uniform(0.92, 1.18))
     else:
         draw.text((pad, pad), text, fill=fill, font=font)
     arr = np.asarray(canvas)
@@ -185,6 +196,22 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
     oy = (IMG_H - crop.size[1]) // 2
     out.paste(crop, (ox, oy))
     img = np.asarray(out, np.float32)
+
+    if rng.random() < 0.4:
+        # low-frequency elastic warp (r4): smooth ±1px displacement field
+        # — glyph-shape perturbation that generalizes across typeface
+        # skeletons (serif/sans stroke-shape differences)
+        import cv2
+
+        amp = float(rng.uniform(0.5, 1.3))
+        gx = cv2.resize(rng.normal(0, amp, (4, 16)).astype(np.float32),
+                        (IMG_W, IMG_H), interpolation=cv2.INTER_CUBIC)
+        gy = cv2.resize(rng.normal(0, 0.8 * amp, (4, 16)).astype(np.float32),
+                        (IMG_W, IMG_H), interpolation=cv2.INTER_CUBIC)
+        xs, ys = np.meshgrid(np.arange(IMG_W, dtype=np.float32),
+                             np.arange(IMG_H, dtype=np.float32))
+        img = cv2.remap(img, xs + gx, ys + gy, cv2.INTER_LINEAR,
+                        borderMode=cv2.BORDER_REPLICATE)
 
     # photometric augmentation incl. paper texture (matches receipt scans)
     img = img * float(rng.uniform(0.7, 1.0)) + float(rng.uniform(0, 60))
