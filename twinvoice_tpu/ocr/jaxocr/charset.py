@@ -81,10 +81,15 @@ INVOICE_PATTERN = unroll_pattern(
     [(_LETTERS, 2, 2), ("-", 0, 1), (_DIGITS, 8, 8)]
 )
 DATE_PATTERN = unroll_pattern(
-    [(_DIGITS, 4, 4), ("-/.", 1, 1), (_DIGITS, 2, 2), ("-/.", 1, 1),
-     (_DIGITS, 1, 2)]
+    # 20xx years only: a '2' misread as '1' in the year slot then still
+    # decodes to '2' (fusion's date cleaner requires 20\d{2} anyway)
+    [("2", 1, 1), ("0", 1, 1), (_DIGITS, 2, 2), ("-/.", 1, 1),
+     (_DIGITS, 2, 2), ("-/.", 1, 1), (_DIGITS, 1, 2)]
 )
-AMOUNT_PATTERN = unroll_pattern([(_DIGITS + ",", 1, 9)])
+# no leading zero/comma (amounts are positive integers in the domain)
+AMOUNT_PATTERN = unroll_pattern(
+    [("123456789", 1, 1), (_DIGITS + ",", 0, 8)]
+)
 
 FIELD_PATTERNS = {
     "invoice": INVOICE_PATTERN,
