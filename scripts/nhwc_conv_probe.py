@@ -44,9 +44,11 @@ def main(batch=128, iters=10, th=8):
     rng = np.random.default_rng(0)
     # generate on-device (never ship GB arrays through the relay)
     key = jax.random.key(0)
-    x = jax.jit(lambda k: jax.random.randint(
-        k, (batch, h, w, c), 0, 127, dtype=jnp.int8))(key)
-    x.block_until_ready()
+
+    def gen(k):
+        return jax.random.randint(k, (batch, h, w, c), 0, 127,
+                                  dtype=jnp.int8)
+
     k8 = jnp.asarray(rng.integers(-127, 128, (3, 3, c, co), dtype=np.int8))
     a = jnp.asarray(rng.uniform(1e-3, 2e-3, (co,)), jnp.float32)
     bias = jnp.asarray(rng.normal(0, 0.1, (co,)), jnp.float32)
@@ -57,13 +59,22 @@ def main(batch=128, iters=10, th=8):
         y = _conv3x3_i8(x, {"kernel": k8}).astype(jnp.float32) * a + bias
         return _requant(jax.nn.relu(y), os_)
 
-    timed(xla_conv, (x,), iters, "XLA int8 conv+requant")
+    # HBM hygiene (16 GB chip, r4 rev): at b128 each (B,512,512,64) int8
+    # tensor is 2.1 GB and the Mosaic input relayout + the kernel's
+    # internal H-slice each copy one more — so NEVER keep two layouts of
+    # the input alive at once. Each family regenerates its input from the
+    # PRNG key on-device (microseconds) instead of deriving it from a
+    # kept-alive x; the r3 run OOM'd with x + xpad + out + xa all live.
+    if "--trunk-only" in sys.argv:
+        _trunk(batch, iters, rng)
+        return
 
-    # HBM hygiene (16 GB chip): at b128 each (B,512,512,64) int8 tensor is
-    # 2.1-4.3 GB — keep at most input+output alive per variant, and drop
-    # the padded/packed inputs before moving to the next family (the E2
-    # run OOM'd with x + xpad + out + xa all live)
-    xpad = jax.jit(NC.pad_nhwc)(x)
+    x = jax.jit(gen)(key)
+    x.block_until_ready()
+    timed(xla_conv, (x,), iters, "XLA int8 conv+requant")
+    x.delete()
+
+    xpad = jax.jit(lambda k: NC.pad_nhwc(gen(k)))(key)
     xpad.block_until_ready()
     for th1 in (th, 16, 32):
         timed(lambda xp, _t=th1: NC.qconv3x3_nhwc_requant(
@@ -71,9 +82,8 @@ def main(batch=128, iters=10, th=8):
             (xpad,), iters, f"v1 NHWC rolling-carry (th={th1})")
     xpad.delete()
 
-    xa = jax.jit(NC.to_phase_a)(x)
+    xa = jax.jit(lambda k: NC.to_phase_a(gen(k)))(key)
     xa.block_until_ready()
-    x.delete()
     wp = jnp.asarray(NC.pack_w_pair(k8))
     a2, b2 = jnp.tile(a, 2), jnp.tile(bias, 2)
     for th2 in (th, 16, 32):
@@ -83,20 +93,24 @@ def main(batch=128, iters=10, th=8):
     xa.delete()
 
     if "--trunk" in sys.argv:
-        # full w64 serving box path on the mega-kernel trunk
-        from twinvoice_tpu.config import InferConfig, UNetConfig
-        from twinvoice_tpu.infer.pipeline import Segmenter
-        from twinvoice_tpu.models.unet import init_unet
+        _trunk(batch, iters, rng)
 
-        mcfg, icfg = UNetConfig(base_width=64), InferConfig()
-        params, state = init_unet(jax.random.key(0), mcfg)
-        imgs = jnp.asarray(rng.integers(
-            0, 255, (batch, 512, 512, 3), dtype=np.uint8))
-        sizes = jnp.asarray([[1920, 1080]] * batch, jnp.int32)
-        seg = Segmenter(params, state, mcfg, icfg, dtype=jnp.bfloat16,
-                        int8_calib=[np.asarray(imgs[:8])], int8_wpack="nhwc")
-        timed(lambda im: seg.segment_batch(im, sizes, return_masks=False)[1],
-              (imgs,), iters, "w64 int8 box path, nhwc mega-kernel trunk")
+
+def _trunk(batch, iters, rng):
+    # full w64 serving box path on the mega-kernel trunk
+    from twinvoice_tpu.config import InferConfig, UNetConfig
+    from twinvoice_tpu.infer.pipeline import Segmenter
+    from twinvoice_tpu.models.unet import init_unet
+
+    mcfg, icfg = UNetConfig(base_width=64), InferConfig()
+    params, state = init_unet(jax.random.key(0), mcfg)
+    imgs = jnp.asarray(rng.integers(
+        0, 255, (batch, 512, 512, 3), dtype=np.uint8))
+    sizes = jnp.asarray([[1920, 1080]] * batch, jnp.int32)
+    seg = Segmenter(params, state, mcfg, icfg, dtype=jnp.bfloat16,
+                    int8_calib=[np.asarray(imgs[:8])], int8_wpack="nhwc")
+    timed(lambda im: seg.segment_batch(im, sizes, return_masks=False)[1],
+          (imgs,), iters, "w64 int8 box path, nhwc mega-kernel trunk")
 
 
 if __name__ == "__main__":

@@ -45,7 +45,14 @@ def check(name, fn):
         RESULTS.append((name, True))
     except Exception as e:  # noqa: BLE001 - gate reports, queue log decides
         dt = time.perf_counter() - t0
-        print(f"FAIL {name} ({dt:.1f}s): {type(e).__name__}: {e}", flush=True)
+        # single-line-ish failure: Mosaic errors are pages long and bury
+        # the queue log's tail — keep head + the MLIR-op line if present
+        msg = str(e)
+        op = next((ln.strip() for ln in msg.splitlines()
+                   if "tpu." in ln or "vector." in ln), "")
+        head = " ".join(msg.split())[:400]
+        print(f"FAIL {name} ({dt:.1f}s): {type(e).__name__}: {head}"
+              + (f" | op: {op}" if op else ""), flush=True)
         RESULTS.append((name, False))
 
 
@@ -109,9 +116,12 @@ def main():
     def gate_head():
         from twinvoice_tpu.ops.pallas_head import head_rowcol_max
 
+        # batch is the kernel's LANE dim — gate at the production 128
+        # (the r4 first run used B=8 and tripped Mosaic lowering paths
+        # production never executes); H is shrunk to keep runtime sane
         c = 64
         kk = jax.random.fold_in(k0, 2)
-        h_s8 = rnd_i8(kk, (8, 128, 256, c))
+        h_s8 = rnd_i8(kk, (128, 64, 256, c))
         w = 0.2 * jax.random.normal(jax.random.fold_in(k0, 3), (c, 3),
                                     jnp.float32)
         scale = jnp.float32(0.037)
@@ -136,7 +146,9 @@ def main():
         from twinvoice_tpu.infer.quant import _conv3x3_i8
         from twinvoice_tpu.ops import qconv_pallas as QP
 
-        b, h, w, c, co = 8, 128, 128, 64, 64
+        # N (batch) is the frame layout's LANE dim — gate at the
+        # production 128; H/W shrunk to keep runtime sane
+        b, h, w, c, co = 128, 64, 64, 64, 64
         x = rnd_i8(jax.random.fold_in(k0, 4), (b, h, w, c), -40, 41)
         kern = rnd_i8(jax.random.fold_in(k0, 5), (3, 3, c, co), -20, 21)
         a = jax.random.uniform(jax.random.fold_in(k0, 6), (co,), jnp.float32,
@@ -161,7 +173,8 @@ def main():
     def gate_pool():
         from twinvoice_tpu.ops import qconv_pallas as QP
 
-        x = rnd_i8(jax.random.fold_in(k0, 8), (8, 128, 128, 64))
+        # production lane width (N=128), like gate_qconv_frame
+        x = rnd_i8(jax.random.fold_in(k0, 8), (128, 64, 64, 64))
         got = jax.jit(lambda t: jnp.transpose(QP.from_frame(
             QP.max_pool2_hcwn(QP.to_frame(QP.to_hcwn(t)),
                               interpret=interp)), (3, 0, 2, 1)))(x)
@@ -171,6 +184,30 @@ def main():
         mm = mismatches(got, ref)
         assert mm == 0, f"{mm} mismatches"
         return "bit-exact 2x2 pool"
+
+    # ---- 4b. frame transpose-conv upsample ---------------------------
+    def gate_upsample():
+        from twinvoice_tpu.infer.quant import _conv_transpose2x2_i8
+        from twinvoice_tpu.ops import qconv_pallas as QP
+
+        b, hw, ci, co = 128, 32, 128, 64
+        x = rnd_i8(jax.random.fold_in(k0, 17), (b, hw, hw, ci))
+        kern = rnd_i8(jax.random.fold_in(k0, 18), (2, 2, ci, co), -20, 21)
+        a = jax.random.uniform(jax.random.fold_in(k0, 19), (co,), jnp.float32,
+                               1e-3, 2e-3)
+        bias = 0.1 * jax.random.normal(jax.random.fold_in(k0, 20), (co,),
+                                       jnp.float32)
+        os_ = jnp.float32(1.9)
+        got = jax.jit(lambda t: jnp.transpose(QP.from_frame(
+            QP.qupsample2x2_requant(QP.to_frame(QP.to_hcwn(t)),
+                                    QP.pack_wup(np.asarray(kern)), a, bias,
+                                    os_, interpret=interp)), (3, 0, 2, 1)))(x)
+        ref = jax.jit(lambda t: jnp.clip(jnp.round(
+            (_conv_transpose2x2_i8(t, kern).astype(jnp.float32) * a + bias)
+            * (127.0 / os_)), -127, 127).astype(jnp.int8))(x)
+        mm = mismatches(got, ref)
+        assert mm == 0, f"{mm} mismatches"
+        return f"bit-exact 2x2 transpose conv ({b},{hw},{hw},{ci})->{co}"
 
     # ---- 5. rolling-carry NHWC single + pair chain -------------------
     def gate_nhwc_single():
@@ -223,6 +260,7 @@ def main():
     check("pallas_head", gate_head)
     check("qconv_frame_trunk", gate_qconv_frame)
     check("frame_maxpool", gate_pool)
+    check("frame_upsample", gate_upsample)
     check("nhwc_rolling_carry", gate_nhwc_single)
     check("nhwc_pair_chain", gate_nhwc_pair)
 
