@@ -105,3 +105,29 @@ def test_detect_downscales_large_frames():
     for (x1, y1, x2, y2) in boxes:
         texts += qr._decode_all(rgb[y1:y2, x1:x2])
     assert any("AB12345678" in t for t in texts)
+
+
+def test_scan_fast_pass_single_decode_on_clean_frame():
+    """Bulk-path economics (1-core host): a clean ≥420 px invoice must
+    early-stop after the 0.75× gray fast pass — exactly ONE decoder
+    invocation — and still read both QR roles. A tracking decoder wraps
+    the native one to count calls."""
+    from twinvoice_tpu.data.synthetic import render_invoice
+    from twinvoice_tpu.qr.detect import QrPipeline, native_decode
+
+    img, _ = render_invoice(
+        "AB12345678", "2024-01-02", 123,
+        items=[{"name": "茶", "qty": 1, "price": 123}], size=(460, 660),
+        seed=44)
+    calls = []
+
+    def counting(arr):
+        calls.append(arr.shape)
+        return native_decode(arr)
+
+    payloads = QrPipeline(decoders=[counting]).scan(img)
+    assert len(payloads) == 2
+    assert any(p.startswith("AB12345678") for p in payloads)
+    assert len(calls) == 1, calls          # fast pass alone sufficed
+    assert len(calls[0]) == 2              # and it saw the 2-D gray frame
+    assert max(calls[0]) < 660             # ... downscaled
