@@ -984,13 +984,39 @@ static int decode_pass(const uint8_t* img, int h, int w, int stride,
   if (fs.size() > 16) fs.resize(16);
 
   int count = 0;
-  for (size_t i = 0; i < fs.size(); i++)
-    for (size_t j = i + 1; j < fs.size(); j++)
-      for (size_t k = j + 1; k < fs.size(); k++) {
+  // decode_triple is ~1-2 ms even on garbage (sampling + RS attempts);
+  // on noise the 16-finder cap still allows C(16,3)=560 attempts (~1 s
+  // measured). Two guards keep the worst case bounded without touching
+  // real frames: (a) a geometry prefilter — genuine finder centers form
+  // a right isoceles triangle (legs equal, hyp² ≈ leg²+leg², legs ≥
+  // ~(n-7)·module ≥ 14·module for v1) with wide tolerances for
+  // perspective; (b) a hard cap on decode attempts per pass.
+  int attempts = 0;
+  const int kMaxAttempts = 96;
+  auto d2 = [](const Finder& a, const Finder& b) {
+    double dx = a.x - b.x, dy = a.y - b.y;
+    return dx * dx + dy * dy;
+  };
+  for (size_t i = 0; i < fs.size() && attempts < kMaxAttempts; i++)
+    for (size_t j = i + 1; j < fs.size() && attempts < kMaxAttempts; j++)
+      for (size_t k = j + 1; k < fs.size() && attempts < kMaxAttempts; k++) {
         // module sizes must be comparable
         double mn = std::min({fs[i].module, fs[j].module, fs[k].module});
         double mx = std::max({fs[i].module, fs[j].module, fs[k].module});
         if (mx > 1.6 * mn) continue;
+        double dij = d2(fs[i], fs[j]), dik = d2(fs[i], fs[k]),
+               djk = d2(fs[j], fs[k]);
+        double hyp = std::max({dij, dik, djk});
+        double l1 = dij + dik + djk - hyp -
+                    std::min({dij, dik, djk});  // middle leg
+        double l2 = std::min({dij, dik, djk});
+        if (l2 < 1e-9 || l1 > 2.2 * l2) continue;  // legs within ~1.5×
+        if (hyp < 0.6 * (l1 + l2) || hyp > 1.5 * (l1 + l2))
+          continue;  // corner angle far from 90°
+        double m_avg = (fs[i].module + fs[j].module + fs[k].module) / 3.0;
+        if (l2 < (10.0 * m_avg) * (10.0 * m_avg))
+          continue;  // closer than any legal version allows
+        attempts++;
         std::string payload;
         if (decode_triple(bm, fs[i], fs[j], fs[k], &payload)) {
           bool dup = false;

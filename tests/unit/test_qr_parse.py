@@ -95,3 +95,19 @@ def test_coerce_text():
     assert coerce_text(None) == ""
     assert coerce_text(b"abc\xff") == "abc"
     assert coerce_text(42) == "42"
+
+
+def test_items_single_char_first_item_kept():
+    """Reference parity (app_camera.py:143): the length junk filter runs
+    PRE-strip there, so a single-char FIRST item arrives as '**茶' (len 3)
+    and survives; a bare 1-char fragment is still junk, and structural
+    keywords are rejected even with the marker (stricter than reference)."""
+    from twinvoice_tpu.qr.parse import parse_items_qr
+
+    assert parse_items_qr(["**茶:1:123"]) == [
+        {"name": "茶", "qty": 1, "price": 123, "amount": 123}
+    ]
+    assert parse_items_qr(["**茶:1:123:Y:1:2"]) == [
+        {"name": "茶", "qty": 1, "price": 123, "amount": 123}
+    ]
+    assert parse_items_qr(["**總計:1:100"]) == []

@@ -202,14 +202,11 @@ class QrPipeline:
                 gray = cv2.cvtColor(rgb, cv2.COLOR_RGB2GRAY)
                 yield cv2.resize(gray, None, fx=0.75, fy=0.75,
                                  interpolation=cv2.INTER_AREA)
-            # full frame: the native decoder's own finder scan reads
-            # both QRs of a clean invoice in one pass, cheaper than a
-            # cv2.detectMulti region pass alone — the common bulk case
-            # never pays for detection. The detect → raw crop → enhanced
-            # crop cascade is the fallback for hard (photo/blur) frames;
-            # raw crops come before enhanced ones because a clean crop
-            # decodes in ~2 ms where the 3×-upscaled copy costs ~20 ms.
-            yield rgb
+            # then detected-region crops: when the fast pass read one QR
+            # but missed the other (marginal module pitch at 0.75×), a
+            # full-res region crop decodes in ~2-5 ms, where the
+            # full-frame pass on such frames burns 115-180 ms in
+            # version/RS retries (measured) — so regions go FIRST.
             regions = detect_qr_regions(rgb)
             misses = []
             for (x1, y1, x2, y2) in regions:
@@ -218,6 +215,11 @@ class QrPipeline:
                 yield crop
                 if len(found) == n_before:
                     misses.append(crop)
+            # full frame: the native decoder's own finder scan catches
+            # QRs that cv2.detectMulti's locator misses entirely; the
+            # detect → raw crop → enhanced crop cascade above handles the
+            # common partial-miss case more cheaply.
+            yield rgb
             for crop in misses:
                 yield enhance_qr_region(crop)
             w = rgb.shape[1]

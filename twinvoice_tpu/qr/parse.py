@@ -89,11 +89,17 @@ def parse_items_qr(payloads: Iterable) -> List[dict]:
         name = name.strip()
         if name.startswith("**********"):
             continue
-        # strip the TEXT-QR "**" marker *before* junk filtering, so structural
-        # rows like "**總計" are rejected too (stricter than the reference,
-        # which checks junk pre-strip and lets "**總計" rows through)
+        had_marker = name.startswith("*")
+        # strip the TEXT-QR "**" marker *before* the keyword filter, so
+        # structural rows like "**總計" are rejected too (stricter than the
+        # reference, which checks junk pre-strip and lets "**總計" through)
         name = re.sub(r"^\*+\s*", "", name).strip()
-        if not name or name in _JUNK_NAMES or len(name) <= 1:
+        if not name or name in _JUNK_NAMES:
+            continue
+        # the length filter matches the reference's PRE-strip semantics
+        # (app_camera.py:143): a single-char FIRST item ("**茶") keeps its
+        # marker there and survives; only bare 1-char fragments are junk
+        if len(name) <= 1 and not had_marker:
             continue
         qty, price = int(qty_s), int(price_s)
         if qty > 0 and price >= 0:
