@@ -456,46 +456,25 @@ def qconv3x3_requant_dma(x, wpack, a, bias, out_scale, *, relu=True,
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def max_pool2_hcwn(x, interpret=None):
     """2×2 stride-2 max pool on frames: (H+2FH, C, W+2FW, N) →
-    (H/2+2FH, C, W/2+2FW, N). Pure blocked specs — the input block index
-    is derived from the output block index (clamped for border tiles,
-    whose output is zero)."""
-    if interpret is None:
-        interpret = _interpret_default()
+    (H/2+2FH, C, W/2+2FW, N).
+
+    Implementation note (r4): this is plain XLA, not a Pallas kernel. The
+    Pallas version's in-kernel i8 pairing reshape would not lower on real
+    TPU — Mosaic rejected the sublane-split reshape at small lane counts
+    and crashed the remote compile helper at the production N=128 — and a
+    2×2 pool is pure bandwidth (no MXU work), so a kernel cannot beat the
+    XLA emitter here anyway. The strided slices below fuse into one pass.
+    ``interpret`` is accepted for signature compatibility and ignored.
+    """
+    del interpret
     Hp, C, Wp, N = x.shape
     H, W = Hp - 2 * FH, Wp - 2 * FW
-    Ho, Wo = H // 2, W // 2
-    Hpo, Wpo = Ho + 2 * FH, Wo + 2 * FW
-
-    wt = max(c for c in (16, 8, 4, 2, 1) if Wo % c == 0)
-    while 2 * 2 * C * 2 * wt * N + C * wt * N > (10 << 20) and wt > 8:
-        wt //= 2
-    kl = Wpo // wt
-    bw = FW // wt
-    in_kl = Wp // (2 * wt)
-
-    def kernel(x_ref, o_ref):
-        io = pl.program_id(0)
-        jo = pl.program_id(1)
-        interior = ((io >= FH) & (io < Hpo - FH) & (jo >= bw) & (jo < kl - bw))
-        a = jnp.maximum(x_ref[0], x_ref[1])            # (C, 2·wt, N)
-        a = a.reshape(C, wt, 2, N)
-        # elementwise maximum, not a reduction — Mosaic has no int8 reduce
-        m = jnp.maximum(a[:, :, 0, :], a[:, :, 1, :])
-        o_ref[0] = jnp.where(interior, m, 0)
-
-    return pl.pallas_call(
-        kernel,
-        grid=(Hpo, kl),
-        in_specs=[pl.BlockSpec(
-            (2, C, 2 * wt, N),
-            lambda io, jo: (jnp.clip(io - FH // 2, 0, Hp // 2 - 1), 0,
-                            jnp.clip(jo + FW // (2 * wt) - bw, 0, in_kl - 1), 0),
-            memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, C, wt, N), lambda io, jo: (io, 0, jo, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((Hpo, C, Wpo, N), jnp.int8),
-        interpret=interpret,
-    )(x)
+    i = x[FH : FH + H, :, FW : FW + W, :]
+    m = jnp.maximum(
+        jnp.maximum(i[0::2, :, 0::2, :], i[0::2, :, 1::2, :]),
+        jnp.maximum(i[1::2, :, 0::2, :], i[1::2, :, 1::2, :]),
+    )
+    return to_frame(m)
 
 
 # ------------------------------------------------- transpose-conv upsample
