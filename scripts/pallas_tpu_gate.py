@@ -266,6 +266,52 @@ def main():
         assert mm == 0, f"{mm} mismatches"
         return "bit-exact pair kernel A->B phase chain"
 
+    def gate_nhwc_pair_b2a():
+        # the B→A direction (aligned-GEMM + slice, r4): A→B→A chain vs
+        # two XLA convs — covers phase-B input provisioning, the odd-p_out
+        # alignment tail, and the phase-A pad-column zeroing
+        from twinvoice_tpu.infer.quant import _conv3x3_i8, _requant
+        from twinvoice_tpu.ops.nhwc_conv import (
+            pack_w_pair, qconv3x3_pair_requant, to_phase_a,
+        )
+
+        b, h, w, c = 8, 128, 128, 64
+        x = rnd_i8(jax.random.fold_in(k0, 21), (b, h, w, c), 0, 127)
+        k1 = rnd_i8(jax.random.fold_in(k0, 22), (3, 3, c, c))
+        k2 = rnd_i8(jax.random.fold_in(k0, 23), (3, 3, c, c))
+        a = jax.random.uniform(jax.random.fold_in(k0, 24), (c,), jnp.float32,
+                               1e-3, 2e-3)
+        bias = 0.1 * jax.random.normal(jax.random.fold_in(k0, 25), (c,),
+                                       jnp.float32)
+        os1, os2 = jnp.float32(0.7), jnp.float32(0.8)
+        wp1 = jnp.asarray(pack_w_pair(np.asarray(k1)))
+        wp2 = jnp.asarray(pack_w_pair(np.asarray(k2)))
+        a2, b2 = jnp.tile(a, 2), jnp.tile(bias, 2)
+
+        def pal(t):
+            hb = qconv3x3_pair_requant(to_phase_a(t), wp1, a2, b2, os1,
+                                       in_phase="A", th=16, interpret=interp)
+            ha = qconv3x3_pair_requant(hb, wp2, a2, b2, os2,
+                                       in_phase="B", th=16, interpret=interp)
+            bh, hh, pp, c2 = ha.shape
+            return ha.reshape(bh, hh, 2 * pp, c2 // 2)[:, :, 1 : 1 + w, :]
+
+        def ref(t):
+            y1 = _requant(jax.nn.relu(
+                _conv3x3_i8(t, {"kernel": k1}).astype(jnp.float32) * a
+                + bias), os1)
+            return _requant(jax.nn.relu(
+                _conv3x3_i8(y1, {"kernel": k2}).astype(jnp.float32) * a
+                + bias), os2)
+
+        got, want = jax.jit(pal)(x), jax.jit(ref)(x)
+        mm = mismatches(got, want)
+        md = maxdiff(got, want)
+        assert md <= 1 and mm / got.size <= 1e-5, (
+            f"{mm} mismatches, maxdiff {md}")
+        return ("bit-exact A->B->A chain" if mm == 0 else
+                f"exact up to {mm} rounding-tie off-by-ones")
+
     check("postprocess", gate_postprocess)
     check("pallas_head", gate_head)
     check("qconv_frame_trunk", gate_qconv_frame)
@@ -273,6 +319,7 @@ def main():
     check("frame_upsample", gate_upsample)
     check("nhwc_rolling_carry", gate_nhwc_single)
     check("nhwc_pair_chain", gate_nhwc_pair)
+    check("nhwc_pair_b2a", gate_nhwc_pair_b2a)
 
     n_fail = sum(1 for _, ok in RESULTS if not ok)
     print(f"gate: {len(RESULTS) - n_fail}/{len(RESULTS)} kernels exact "

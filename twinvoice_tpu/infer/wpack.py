@@ -317,7 +317,7 @@ def unet_apply_quantized_wpack_rowcol_max(q, imgs_u8, logits_dtype=jnp.float32,
 # ---------------------------------------------- mega-kernel packed trunk
 
 
-def unet_apply_quantized_features_nhwc(q, imgs_u8, th=8, interpret=None):
+def unet_apply_quantized_features_nhwc(q, imgs_u8, th=16, interpret=None):
     """Packed trunk with the full-res convs as ops/nhwc_conv pair
     MEGA-KERNELS (grid=(B,), inner-loop DMA streaming) instead of XLA
     convs; everything else identical to the wpack graph. Phases alternate
@@ -416,7 +416,7 @@ def unet_apply_quantized_features_nhwc(q, imgs_u8, th=8, interpret=None):
     raise AssertionError("decoder must end at full resolution")
 
 
-def unet_apply_quantized_nhwc_rowcol_max(q, imgs_u8, th=8, interpret=None,
+def unet_apply_quantized_nhwc_rowcol_max(q, imgs_u8, th=16, interpret=None,
                                          logits_dtype=jnp.float32):
     """Box-only path on the mega-kernel trunk: packed 1×1 head + packed
     row/col reductions (same contract as the wpack variant: bias-free

@@ -490,23 +490,33 @@ def qconv3x3_pair_requant(x, wp, a2, bias2, out_scale, *, in_phase="A",
     assert p_in % 2 == (1 if a_phase_in else 0), (p_in, in_phase)
     p_out = p_in - 1 if a_phase_in else p_in + 1
     co2 = wp.shape[3]
+    # Sublane-align the GEMM width: the B→A direction's natural p_out is
+    # ODD (257 at the flagship shape) and an M=257 GEMM measured 3×
+    # slower than the even A→B one (199 vs 63 ms) AND killed the compile
+    # helper at th=16. Compute PG = roundup8(p_out) columns instead and
+    # slice the tail off in XLA after the kernel. The B input's W halo
+    # (a zero pair column on the left) plus the alignment tail are baked
+    # in with ONE fusable XLA pad — the old per-step in-kernel concat is
+    # gone. Measured: B→A 199 → 74 ms, and th=16 compiles.
+    pg = ((p_out + 7) // 8) * 8
+    if a_phase_in:
+        if pg > p_out:  # odd-P test shapes; flagship A→B is already even
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pg + 1 - p_in), (0, 0)))
+    else:
+        x = jnp.pad(x, ((0, 0), (0, 0), (1, pg - p_in), (0, 0)))
+    p_slab = max(p_in if a_phase_in else p_in + 2, pg + 1)
 
     def kernel(x_ref, w_ref, a_ref, b_ref, os_ref, o_ref, prev, carry):
         j = pl.program_id(1)
-        cur = x_ref[0]                           # (th, p_in, cpk)
+        cur = x_ref[0]                           # (th, p_slab, cpk)
         inv_os = 127.0 / os_ref[0, 0]
         first = jnp.where(j == nblk, jnp.zeros_like(cur[:1]), cur[:1])
         slab = jnp.concatenate([carry[...], prev[...], first], axis=0)
-        if not a_phase_in:
-            # B input: zero pair columns at BOTH slab edges so views
-            # [v : v+p_out] read B-pairs v-1, v (W halo in the pair dim)
-            zcol = jnp.zeros((th + 2, 1, cpk), jnp.int8)
-            slab = jnp.concatenate([zcol, slab, zcol], axis=1)
-        acc = jnp.zeros((th, p_out, co2), jnp.int32)
+        acc = jnp.zeros((th, pg, co2), jnp.int32)
         for dy in range(3):
             for v in range(2):
                 acc = acc + lax.dot_general(
-                    slab[dy : dy + th, v : v + p_out, :],
+                    slab[dy : dy + th, v : v + pg, :],
                     w_ref[dy, v],
                     dimension_numbers=(((2,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
@@ -531,11 +541,11 @@ def qconv3x3_pair_requant(x, wp, a2, bias2, out_scale, *, in_phase="A",
         carry[...] = jnp.where(j == 0, jnp.zeros_like(prev_last), prev_last)
         prev[...] = cur
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(bsz, nblk + 1),
         in_specs=[
-            pl.BlockSpec((1, th, p_in, cpk),
+            pl.BlockSpec((1, th, p_slab, cpk),
                          lambda b, j: (b, jnp.minimum(j, nblk - 1), 0, 0)),
             pl.BlockSpec((3, 2, cpk, co2), lambda b, j: (0, 0, 0, 0)),
             pl.BlockSpec((co2,), lambda b, j: (0,)),
@@ -544,16 +554,17 @@ def qconv3x3_pair_requant(x, wp, a2, bias2, out_scale, *, in_phase="A",
                          memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, th, p_out, co2),
+            (1, th, pg, co2),
             lambda b, j: (b, jnp.maximum(j - 1, 0), 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bsz, h, p_out, co2), jnp.int8),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, pg, co2), jnp.int8),
         scratch_shapes=[
-            pltpu.VMEM((th, p_in, cpk), jnp.int8),
-            pltpu.VMEM((1, p_in, cpk), jnp.int8),
+            pltpu.VMEM((th, p_slab, cpk), jnp.int8),
+            pltpu.VMEM((1, p_slab, cpk), jnp.int8),
         ],
         interpret=interpret,
     )(x, wp, a2.astype(jnp.float32), bias2.astype(jnp.float32),
       jnp.asarray(out_scale, jnp.float32).reshape(1, 1))
+    return out[:, :, :p_out, :] if pg > p_out else out
 
 
 def to_phase_a(x):
