@@ -9,12 +9,12 @@ photographic tiers), NOT the training distribution:
 ========================  ====== ===== ==========================================
 variant                   width  grid  gauntlet (IoU clean/mild/hard; box-hit)
 ========================  ====== ===== ==========================================
-``w16`` (default)         16     512   0.95 / 0.95 / 0.92; box-hit 1.0 everywhere
-``w16_g384`` (streaming)  16     384   0.95 / 0.95 / 0.92; box-hit 1.0 everywhere
-``w64`` (reference arch)  64     512   0.88 / 0.88 / 0.79; box-hit 1.0/1.0/0.96
+``w16`` (default)         16     512   0.95 / 0.95 / 0.93; box-hit 1.0 everywhere
+``w16_g384`` (streaming)  16     384   0.95 / 0.94 / 0.92; box-hit 1.0 everywhere
+``w64`` (reference arch)  64     512   0.95 / 0.94 / 0.85; box-hit 1.0/1.0/0.95
 ========================  ====== ===== ==========================================
 
-``w16`` is the throughput flagship (1790 img/s/chip batch-128 bf16,
+``w16`` is the throughput flagship (2732 img/s/chip batch-128 bf16 2-in-flight,
 docs/PERFORMANCE.md); ``w64`` is the reference's 31.04M-param architecture
 (unet_model.py:23-53) for drop-in parity work — production deployments can
 instead port the reference's own ``.pth`` via ``twinvoice_tpu.port``.
