@@ -66,6 +66,25 @@ def test_synthetic_data_labels_match_text():
         assert decode_ids(row[:n]) == text
 
 
+def test_hard_sampler_batches_stay_well_formed():
+    """hard_frac batches must keep the label/text invariant of the normal
+    sampler (training-only distribution shift, same encoding contract)."""
+    from twinvoice_tpu.ocr.jaxocr import data as D
+    from twinvoice_tpu.ocr.jaxocr.charset import cjk_charset
+
+    rng = np.random.default_rng(7)
+    for cs in (None, cjk_charset()):
+        kw = {"charset": cs} if cs is not None else {}
+        imgs, labels, pad, texts = D.make_batch(16, rng, hard_frac=1.0, **kw)
+        assert imgs.shape == (16, 32, 256, 1)
+        for row, prow, text in zip(labels, pad, texts):
+            n = int((prow == 0).sum())
+            assert 0 < n <= D.MAX_LABEL
+            got = (cs.decode_ids(row[:n]) if cs is not None
+                   else decode_ids(row[:n]))
+            assert got == text
+
+
 def test_weights_roundtrip(tmp_path):
     import jax
 

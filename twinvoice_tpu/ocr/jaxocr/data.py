@@ -74,6 +74,44 @@ def _font(path, size):
     return ImageFont.truetype(path, size)
 
 
+def random_hard_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> str:
+    """Training-only hard-case sampler (r4 error analysis on the v5 weights):
+    the residual misses concentrate in (a) O/0/I/1 confusions in *format-free*
+    generic strings — the format-constrained engine decode can't rescue those,
+    (b) space handling next to symbols (spurious/dropped ' '), (c) CTC
+    doubled-character drops ('JJ-'→'J-'), and (d) random CJK glyph combos
+    mixed with digits (per-glyph reading without vocabulary support). Eval
+    never uses this sampler, so reported accuracy stays on the unchanged
+    distribution."""
+    has_cjk = len(charset.chars) > len(CHARSET)
+    kind = rng.integers(0, 4 if has_cjk else 3)
+    if kind == 0:  # O/0/I/1/S/5-dense format-free string
+        pool = list("O0I1S5B8Z2Q") + list("O0O0I1")  # double-weight O/0/I/1
+        n = int(rng.integers(4, 12))
+        s = "".join(rng.choice(pool, n))
+        if rng.random() < 0.4:  # sprinkle separators the confusions ride on
+            i = int(rng.integers(1, max(2, n - 1)))
+            s = s[:i] + str(rng.choice([".", ",", ":", "-", ")"])) + s[i:]
+        return s
+    if kind == 1:  # space-dense line with symbols at the boundaries
+        words = []
+        for _ in range(int(rng.integers(2, 4))):
+            n = int(rng.integers(1, 6))
+            words.append("".join(rng.choice(list(CHARSET.strip()), n)))
+        return " ".join(words)[:MAX_LABEL - 1]
+    if kind == 2:  # doubled-character runs (CTC must emit blanks)
+        letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        ch = str(rng.choice(list(letters + "0123456789")))
+        tail = "".join(rng.choice(list("0123456789"), int(rng.integers(4, 9))))
+        if rng.random() < 0.5:
+            return ch * 2 + "-" + tail
+        return ch * 2 + tail
+    # random CJK combo + qty/price (the mixed-line failure mode)
+    pool = _cjk_pool(charset)
+    name = "".join(rng.choice(pool, int(rng.integers(2, 5))))
+    return f"{name} {rng.integers(1, 9)} {rng.integers(10, 999)}"
+
+
 def random_field_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> str:
     """Sample a string shaped like one of the three invoice fields (or, when
     the charset covers CJK, like an item-name line ~35% of the time)."""
@@ -225,14 +263,21 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
 
 
 def make_batch(batch_size: int, rng: np.random.Generator,
-               charset: Charset = DEFAULT):
-    """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts)."""
+               charset: Charset = DEFAULT, hard_frac: float = 0.0):
+    """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts).
+
+    ``hard_frac`` > 0 draws that fraction of samples from
+    :func:`random_hard_text` (training only — eval callers leave it 0 so the
+    reported accuracy distribution never drifts)."""
     imgs = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
     labels = np.zeros((batch_size, MAX_LABEL), np.int32)
     pad = np.ones((batch_size, MAX_LABEL), np.float32)
     texts: List[str] = []
     for i in range(batch_size):
-        text = random_field_text(rng, charset)
+        if hard_frac > 0.0 and rng.random() < hard_frac:
+            text = random_hard_text(rng, charset)
+        else:
+            text = random_field_text(rng, charset)
         ids = charset.encode_text(text)[:MAX_LABEL]
         text = "".join(
             c for c in text.upper() if charset.encode_text(c)

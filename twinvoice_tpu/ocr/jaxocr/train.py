@@ -116,11 +116,16 @@ def load_weights_ex(weights_path=DEFAULT_WEIGHTS_PATH):
 
 def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR,
           log=print, charset: Charset = DEFAULT, cache_batches: int = 0,
-          arch="t64", resume_from=None):
+          arch="t64", resume_from=None, hard_frac: float = 0.0):
     """``cache_batches``: when >0, pre-render that many batches once and
     cycle them (fresh randomness per render). CJK stroke rendering on a
     1-core host otherwise starves the device; eval always uses fresh
-    batches, so the reported accuracy is not memorization."""
+    batches, so the reported accuracy is not memorization.
+
+    ``hard_frac``: fraction of TRAINING samples drawn from the
+    :func:`data.random_hard_text` failure-taxonomy sampler (O/0-dense
+    format-free strings, space/symbol boundaries, doubled chars, random
+    CJK+digit combos). Eval batches never use it."""
     rng = np.random.default_rng(seed)
     if resume_from:
         params, state, cs2, a2 = load_weights_ex(resume_from)
@@ -139,7 +144,7 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
     pool = None
     if cache_batches:
         t0 = time.time()
-        pool = [D.make_batch(batch_size, rng, charset)[:3]
+        pool = [D.make_batch(batch_size, rng, charset, hard_frac=hard_frac)[:3]
                 for _ in range(cache_batches)]
         log(f"pre-rendered {cache_batches} batches in {time.time()-t0:.0f}s")
 
@@ -148,7 +153,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
         if pool is not None:
             imgs, labels, pad = pool[int(rng.integers(0, len(pool)))]
         else:
-            imgs, labels, pad, _ = D.make_batch(batch_size, rng, charset)
+            imgs, labels, pad, _ = D.make_batch(batch_size, rng, charset,
+                                                hard_frac=hard_frac)
         params, state, opt_state, loss = step_fn(
             params, state, opt_state,
             jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad),
@@ -177,11 +183,14 @@ if __name__ == "__main__":
         cs = cjk_charset()
     cache = 0
     resume = None
+    hard = 0.0
     for a in sys.argv:
         if a.startswith("--cache="):
             cache = int(a.split("=")[1])
         if a.startswith("--resume="):
             resume = a.split("=", 1)[1]
+        if a.startswith("--hard="):
+            hard = float(a.split("=")[1])
     arch = "t32" if "--t32" in sys.argv else "t64"
     train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
-          resume_from=resume)
+          resume_from=resume, hard_frac=hard)
