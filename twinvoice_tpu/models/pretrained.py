@@ -11,7 +11,7 @@ variant                   width  grid  gauntlet (IoU clean/mild/hard; box-hit)
 ========================  ====== ===== ==========================================
 ``w16`` (default)         16     512   0.95 / 0.95 / 0.93; box-hit 1.0 everywhere
 ``w16_g384`` (streaming)  16     384   0.95 / 0.94 / 0.92; box-hit 1.0 everywhere
-``w64`` (reference arch)  64     512   0.95 / 0.94 / 0.85; box-hit 1.0/1.0/0.95
+``w64`` (reference arch)  64     512   0.95 / 0.94 / 0.93; box-hit 1.0 everywhere
 ========================  ====== ===== ==========================================
 
 ``w16`` is the throughput flagship (2732 img/s/chip batch-128 bf16 2-in-flight,

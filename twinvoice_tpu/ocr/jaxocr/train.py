@@ -184,6 +184,7 @@ if __name__ == "__main__":
     cache = 0
     resume = None
     hard = 0.0
+    lr = 3e-4
     for a in sys.argv:
         if a.startswith("--cache="):
             cache = int(a.split("=")[1])
@@ -191,6 +192,8 @@ if __name__ == "__main__":
             resume = a.split("=", 1)[1]
         if a.startswith("--hard="):
             hard = float(a.split("=")[1])
+        if a.startswith("--lr="):
+            lr = float(a.split("=")[1])
     arch = "t32" if "--t32" in sys.argv else "t64"
     train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
-          resume_from=resume, hard_frac=hard)
+          resume_from=resume, hard_frac=hard, lr=lr)
