@@ -407,3 +407,74 @@ def test_constrained_decode_repeated_digits():
     text, _ = constrained_ctc_decode(DEFAULT, tk_ids, tk_lp, blank,
                                      INVOICE_PATTERN)
     assert text == "XY11223344"
+
+
+# ------------------------------------------------------- beam search + LM
+
+
+def test_beam_decode_sums_path_mass():
+    """Greedy follows per-frame argmax (blank twice → ''); prefix beam
+    search sums over all frame paths that collapse to 'A' (A·A, A·-, -·A
+    = 0.36 > 0.2025 for '') and must recover it."""
+    import math
+
+    from twinvoice_tpu.ocr.jaxocr.charset import DEFAULT, beam_ctc_decode
+
+    frame = [(None, math.log(0.45)), ("A", math.log(0.30)),
+             ("B", math.log(0.25))]
+    tk_ids, tk_lp, blank = _frames(DEFAULT, [frame, frame])
+    assert DEFAULT.greedy_ctc_decode(tk_ids[:, 0]) == ""
+    text, _ = beam_ctc_decode(DEFAULT, tk_ids, tk_lp, blank)
+    assert text == "A"
+
+
+def test_beam_lm_fixes_zero_oh_in_digit_context():
+    """A frame where 'O' narrowly beats '0' after seven digits: the
+    acoustic beam keeps 'O', LM fusion (invoice-number prior) flips it."""
+    from twinvoice_tpu.ocr.jaxocr.charset import DEFAULT, beam_ctc_decode
+    from twinvoice_tpu.ocr.jaxocr.lm import default_lm
+
+    entries = []
+    for ch in "UB55328":
+        entries.append([(ch, -0.05), (None, -4.0)])
+        entries.append([(None, -0.05), (ch, -4.0)])
+    entries.append([("O", -0.60), ("0", -0.86)])  # the ambiguous frame
+    entries.append([(None, -0.05), ("O", -4.0)])
+    for ch in "77":
+        entries.append([(ch, -0.05), (None, -4.0)])
+        entries.append([(None, -0.05), (ch, -4.0)])
+    tk_ids, tk_lp, blank = _frames(DEFAULT, entries)
+
+    plain, _ = beam_ctc_decode(DEFAULT, tk_ids, tk_lp, blank)
+    assert plain == "UB55328O77"
+    fused, _ = beam_ctc_decode(DEFAULT, tk_ids, tk_lp, blank,
+                               lm=default_lm())
+    assert fused == "UB55328077"
+
+
+def test_lm_asset_loads_and_is_domain_shaped():
+    import math
+
+    from twinvoice_tpu.ocr.jaxocr.lm import default_lm
+
+    lm = default_lm()
+    # probabilities are valid and the domain structure is in there
+    assert math.exp(lm.logp("^AB1", "2")) < 1.0
+    # after '珍珠奶' the item vocabulary overwhelmingly continues with '茶'
+    assert lm.logp("珍珠奶", "茶") > lm.logp("珍珠奶", "K") + 2.0
+    # a digit is far more likely than a letter deep in an invoice number
+    assert lm.logp("^UB55328", "0") > lm.logp("^UB55328", "O") + 1.0
+
+
+def test_engine_beam_lm_decode_reads_fields():
+    from twinvoice_tpu.ocr.jaxocr import data as D
+    from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
+
+    eng = JaxOcrEngine(decode="beam_lm")
+    if not eng.available():
+        pytest.skip("no trained weights bundled")
+    rng = np.random.default_rng(0)  # a light-degradation draw sequence
+    for want in ["AB12345678", "2026/08/12"]:
+        img = D.render_line(want, rng)
+        got = eng.read(img).text
+        assert got == want

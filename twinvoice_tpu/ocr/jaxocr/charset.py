@@ -12,6 +12,7 @@ model always decodes with the alphabet it was trained on.
 
 from __future__ import annotations
 
+import math
 from typing import List
 
 BLANK = 0
@@ -174,6 +175,95 @@ def constrained_ctc_decode(charset: Charset, topk_ids, topk_logp, blank_logp,
         if _accepts(slots, s) and sc > best_sc:
             best, best_sc = tx, sc
     return best, best_sc
+
+
+def beam_ctc_decode(charset: Charset, topk_ids, topk_logp, blank_logp,
+                    width: int = 8, lm=None, alpha: float = 0.4,
+                    beta: float = 0.3):
+    """CTC prefix beam search over per-frame top-K posteriors, optionally
+    fused with a character language model.
+
+    Unlike greedy argmax (one frame path), this sums probability over ALL
+    frame paths that collapse to the same string, so a character whose
+    mass is split across two frames — or a space competing with blank —
+    is scored by its total evidence. Standard prefix beam search
+    (Hannun et al. 2014). With ``lm`` (an object with
+    ``logp(context_str, char) -> float``, see :mod:`.lm`) the beam adds
+    shallow fusion: ``alpha * logp_lm`` per emitted char plus a length
+    bonus ``beta`` — the domain's rigid field formats then disambiguate
+    pure-vision ties like 0↔O. This is the principled version of what the
+    reference gets from EasyOCR's pretrained implicit LM
+    (app_camera.py:817-833).
+
+    ``topk_ids``/``topk_logp``: (T, K) per-frame top-K class ids / log
+    probs; ``blank_logp``: (T,) exact blank log prob (blank may fall
+    outside the top-K). Returns ``(text, logp)`` of the best prefix
+    (logp includes the LM term when fused).
+    """
+    NEG = float("-inf")
+
+    def _lae(a, b):  # scalar logaddexp; ~10x faster than np.logaddexp here
+        if a == NEG:
+            return b
+        if b == NEG:
+            return a
+        m = a if a > b else b
+        return m + math.log1p(math.exp(-abs(a - b)))
+
+    T = len(topk_ids)
+    to_char = charset._to_char
+    ids_l = [list(map(int, r)) for r in topk_ids]
+    lp_l = [list(map(float, r)) for r in topk_logp]
+    blank_l = list(map(float, blank_logp))
+    # prefix (tuple of ids) -> [logp ending in blank, ending in char, lm score]
+    beams = {(): [0.0, NEG, 0.0]}
+    for t in range(T):
+        b_lp = blank_l[t]
+        cands = [(i, lp) for i, lp in zip(ids_l[t], lp_l[t]) if i != 0]
+        nxt = {}
+
+        def acc(prefix, slot, lp, lms):
+            e = nxt.get(prefix)
+            if e is None:
+                e = [NEG, NEG, lms]
+                nxt[prefix] = e
+            e[slot] = _lae(e[slot], lp)
+
+        for prefix, (pb, pnb, lms) in beams.items():
+            tot = _lae(pb, pnb)
+            acc(prefix, 0, tot + b_lp, lms)  # blank frame keeps the prefix
+            last = prefix[-1] if prefix else 0
+            ctx = None
+            for cid, lp in cands:
+                ch = to_char.get(cid)
+                if ch is None:
+                    continue
+                ext_lms = lms
+                if lm is not None and (cid != last or pb > NEG):
+                    if ctx is None:
+                        ctx = "^" + "".join(to_char[i] for i in prefix)
+                    ext_lms = lms + alpha * lm.logp(ctx, ch) + beta
+                if cid == last:
+                    # same char again w/o blank collapses (stay on prefix);
+                    # extending needs a blank-ended path
+                    acc(prefix, 1, pnb + lp, lms)
+                    if pb > NEG:
+                        acc(prefix + (cid,), 1, pb + lp, ext_lms)
+                else:
+                    acc(prefix + (cid,), 1, tot + lp, ext_lms)
+        beams = dict(sorted(
+            nxt.items(),
+            key=lambda kv: -(_lae(kv[1][0], kv[1][1]) + kv[1][2])
+        )[:width])
+    best, best_lp = (), NEG
+    for prefix, (pb, pnb, lms) in beams.items():
+        lp = _lae(pb, pnb) + lms
+        if lm is not None:  # end-of-string LM term
+            ctx = "^" + "".join(to_char[i] for i in prefix)
+            lp += alpha * lm.logp(ctx, "$")
+        if lp > best_lp:
+            best, best_lp = prefix, lp
+    return charset.decode_ids(best), best_lp
 
 
 # module-level functions kept for existing callers (default charset)

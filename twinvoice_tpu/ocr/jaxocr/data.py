@@ -154,8 +154,18 @@ def random_field_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> s
     return "".join(rng.choice(list(CHARSET.strip() + "  "), n)).strip() or "X"
 
 
-def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
-    """Render text → uint8 grayscale (IMG_H, IMG_W), dark text on light bg."""
+def render_line(text: str, rng: np.random.Generator,
+                sev: float = 1.0) -> np.ndarray:
+    """Render text → uint8 grayscale (IMG_H, IMG_W), dark text on light bg.
+
+    ``sev`` scales the degradation knobs (probabilities and amplitudes of
+    rotation, elastic warp and the photometric block). 1.0 is the
+    canonical train/eval distribution — eval callers never pass anything
+    else, so reported accuracies don't drift. Training passes >1.0 for a
+    fraction of samples (severity curriculum, mirroring the segmenter's
+    sev-0.8 retrain that lifted its hard tier 0.83→0.92): the v6 error
+    ablation pinned ~8 exact-match points on the photometric block alone.
+    """
     from PIL import Image, ImageDraw
 
     size = int(rng.integers(18, 30))
@@ -197,8 +207,9 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
     y0, y1 = ys.min(), ys.max() + 1
     crop = Image.fromarray(arr[y0:y1, x0:x1])
 
-    if rng.random() < 0.4:
-        crop = crop.rotate(float(rng.uniform(-4.0, 4.0)), expand=True, fillcolor=255)
+    if rng.random() < min(0.85, 0.4 * sev):
+        crop = crop.rotate(float(rng.uniform(-4.0 * sev, 4.0 * sev)),
+                           expand=True, fillcolor=255)
 
     if rng.random() < 0.5:
         # typography warp (VERDICT r2 #3): weight via morphology + slant
@@ -235,13 +246,13 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
     out.paste(crop, (ox, oy))
     img = np.asarray(out, np.float32)
 
-    if rng.random() < 0.4:
+    if rng.random() < min(0.85, 0.4 * sev):
         # low-frequency elastic warp (r4): smooth ±1px displacement field
         # — glyph-shape perturbation that generalizes across typeface
         # skeletons (serif/sans stroke-shape differences)
         import cv2
 
-        amp = float(rng.uniform(0.5, 1.3))
+        amp = float(rng.uniform(0.5, 1.3 * sev))
         gx = cv2.resize(rng.normal(0, amp, (4, 16)).astype(np.float32),
                         (IMG_W, IMG_H), interpolation=cv2.INTER_CUBIC)
         gy = cv2.resize(rng.normal(0, 0.8 * amp, (4, 16)).astype(np.float32),
@@ -252,23 +263,28 @@ def render_line(text: str, rng: np.random.Generator) -> np.ndarray:
                         borderMode=cv2.BORDER_REPLICATE)
 
     # photometric augmentation incl. paper texture (matches receipt scans)
-    img = img * float(rng.uniform(0.7, 1.0)) + float(rng.uniform(0, 60))
-    if rng.random() < 0.5:
-        img = img + rng.normal(0, rng.uniform(2, 12), img.shape)
+    img = img * float(rng.uniform(max(0.45, 1.0 - 0.3 * sev), 1.0)) \
+        + float(rng.uniform(0, 60 * sev))
+    if rng.random() < min(0.85, 0.5 * sev):
+        img = img + rng.normal(0, rng.uniform(2, 12 * sev), img.shape)
     if rng.random() < 0.5:
         img = img - rng.integers(0, 9, img.shape)  # paper grain
-    if rng.random() < 0.3:  # cheap 2x2 box blur
+    if rng.random() < min(0.7, 0.3 * sev):  # cheap 2x2 box blur
         img = (img + np.roll(img, 1, 0) + np.roll(img, 1, 1) + np.roll(np.roll(img, 1, 0), 1, 1)) / 4
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
 def make_batch(batch_size: int, rng: np.random.Generator,
-               charset: Charset = DEFAULT, hard_frac: float = 0.0):
+               charset: Charset = DEFAULT, hard_frac: float = 0.0,
+               sev_frac: float = 0.0, sev_hi: float = 1.8):
     """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts).
 
     ``hard_frac`` > 0 draws that fraction of samples from
     :func:`random_hard_text` (training only — eval callers leave it 0 so the
-    reported accuracy distribution never drifts)."""
+    reported accuracy distribution never drifts). ``sev_frac`` > 0 renders
+    that fraction at an amplified degradation severity drawn from
+    U(1.2, ``sev_hi``) — the recognizer severity curriculum (training
+    only, same discipline)."""
     imgs = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
     labels = np.zeros((batch_size, MAX_LABEL), np.int32)
     pad = np.ones((batch_size, MAX_LABEL), np.float32)
@@ -282,7 +298,10 @@ def make_batch(batch_size: int, rng: np.random.Generator,
         text = "".join(
             c for c in text.upper() if charset.encode_text(c)
         )[: len(ids)]  # keep label/text consistent
-        imgs[i, :, :, 0] = render_line(text, rng).astype(np.float32) / 255.0
+        sev = 1.0
+        if sev_frac > 0.0 and rng.random() < sev_frac:
+            sev = float(rng.uniform(1.2, sev_hi))
+        imgs[i, :, :, 0] = render_line(text, rng, sev=sev).astype(np.float32) / 255.0
         labels[i, : len(ids)] = ids
         pad[i, : len(ids)] = 0.0
         texts.append(text)

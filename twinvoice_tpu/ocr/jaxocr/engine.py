@@ -90,12 +90,22 @@ class JaxOcrEngine:
     name = "jaxocr"
 
     def __init__(self, weights_dir: Optional[str] = None, params=None, state=None,
-                 charset: Charset = DEFAULT, arch: str = "t32"):
+                 charset: Charset = DEFAULT, arch: str = "t32",
+                 decode: str = "greedy"):
+        """``decode``: "greedy" (argmax, the hot-path default) or
+        "beam_lm" — CTC prefix beam search fused with the bundled domain
+        char-LM (charset.beam_ctc_decode + lm.default_lm). beam_lm costs
+        ~10-15 ms/line on this 1-core host, so serving paths keep greedy;
+        accuracy-critical callers (the OCR eval, offline extraction)
+        opt in."""
         import jax
 
         self._jax = jax
         self.charset = charset
         self.arch = arch
+        assert decode in ("greedy", "beam_lm"), decode
+        self.decode = decode
+        self._lm = None
         if params is None:
             from twinvoice_tpu.ocr.jaxocr.train import (
                 DEFAULT_WEIGHTS_PATH,
@@ -135,6 +145,19 @@ class JaxOcrEngine:
 
     def available(self) -> bool:
         return self._params is not None
+
+    def _decode_row(self, k, ids, tk_ids, tk_lp, blank_lp) -> str:
+        """Decode batch row ``k`` per the engine's decode policy."""
+        if self.decode == "beam_lm":
+            from twinvoice_tpu.ocr.jaxocr.charset import beam_ctc_decode
+            from twinvoice_tpu.ocr.jaxocr.lm import default_lm
+
+            if self._lm is None:
+                self._lm = default_lm()
+            text, _ = beam_ctc_decode(self.charset, tk_ids[k], tk_lp[k],
+                                      blank_lp[k], lm=self._lm)
+            return text
+        return self.charset.greedy_ctc_decode(ids[k])
 
     def read(self, image, mode: str = "text") -> OcrResult:
         return self.read_batch([image], modes=[mode])[0]
@@ -250,7 +273,7 @@ class JaxOcrEngine:
         for i, ps in enumerate(parts):
             texts, confs, rows = [], [], []
             for _ in ps:
-                t = self.charset.greedy_ctc_decode(ids[k])
+                t = self._decode_row(k, ids, tk_ids, tk_lp, blank_lp)
                 if t:
                     texts.append(t)
                     confs.append(float(conf[k]))
@@ -287,7 +310,7 @@ class JaxOcrEngine:
             if w is None:
                 continue
             wk = k
-            t = self.charset.greedy_ctc_decode(ids[k])
+            t = self._decode_row(k, ids, tk_ids, tk_lp, blank_lp)
             c = float(conf[k])
             k += 1
             if not t or c <= (out[i].confidence or 0.0):
@@ -314,7 +337,7 @@ class JaxOcrEngine:
             if out[i].text:
                 cands.append((out[i].text, float(out[i].confidence or 0.0)))
             for _ in vs:
-                t = self.charset.greedy_ctc_decode(ids[k])
+                t = self._decode_row(k, ids, tk_ids, tk_lp, blank_lp)
                 c = float(conf[k])
                 k += 1
                 if t:
