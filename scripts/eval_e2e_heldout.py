@@ -3,7 +3,7 @@ bound row of BASELINE config 4 (docs/PERFORMANCE.md: r3 measured
 0.6/0.8/0.8 inv/date/amount at n=10; the residual misses are the
 recognizer reading unfamiliar glyph shapes).
 
-Usage: python scripts/eval_e2e_heldout.py [n] [--recognizer path.npz]
+Usage: python scripts/eval_e2e_heldout.py [n] [--recognizer path.npz] [--beam]
 """
 
 import json
@@ -24,6 +24,7 @@ def main():
         n = int(args.pop(0))
     if "--recognizer" in args:
         rec_path = args[args.index("--recognizer") + 1]
+    decode = "beam_lm" if "--beam" in args else "greedy"
 
     from twinvoice_tpu.config import FusionConfig
     from twinvoice_tpu.eval.gauntlet import (
@@ -36,9 +37,10 @@ def main():
     from twinvoice_tpu.ocr.jaxocr.engine import JaxOcrEngine
 
     seg = pretrained.load_pretrained_segmenter()
-    eng = JaxOcrEngine(weights_dir=rec_path) if rec_path else JaxOcrEngine()
+    eng = JaxOcrEngine(weights_dir=rec_path, decode=decode) if rec_path \
+        else JaxOcrEngine(decode=decode)
     print(f"recognizer: {rec_path or 'bundled'} arch={eng.arch} "
-          f"charset={eng.charset.num_classes}", flush=True)
+          f"charset={eng.charset.num_classes} decode={decode}", flush=True)
     ex = InvoiceExtractor(seg, None, [eng],
                           FusionConfig(auto_rotate=False, use_qr=False))
 
