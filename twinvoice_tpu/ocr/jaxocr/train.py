@@ -117,7 +117,7 @@ def load_weights_ex(weights_path=DEFAULT_WEIGHTS_PATH):
 def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR,
           log=print, charset: Charset = DEFAULT, cache_batches: int = 0,
           arch="t64", resume_from=None, hard_frac: float = 0.0,
-          sev_frac: float = 0.0):
+          sev_frac: float = 0.0, dot_frac: float = 0.0):
     """``cache_batches``: when >0, pre-render that many batches once and
     cycle them (fresh randomness per render). CJK stroke rendering on a
     1-core host otherwise starves the device; eval always uses fresh
@@ -146,7 +146,7 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
     if cache_batches:
         t0 = time.time()
         pool = [D.make_batch(batch_size, rng, charset, hard_frac=hard_frac,
-                              sev_frac=sev_frac)[:3]
+                              sev_frac=sev_frac, dot_frac=dot_frac)[:3]
                 for _ in range(cache_batches)]
         log(f"pre-rendered {cache_batches} batches in {time.time()-t0:.0f}s")
 
@@ -157,7 +157,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
         else:
             imgs, labels, pad, _ = D.make_batch(batch_size, rng, charset,
                                                 hard_frac=hard_frac,
-                                                sev_frac=sev_frac)
+                                                sev_frac=sev_frac,
+                                                dot_frac=dot_frac)
         params, state, opt_state, loss = step_fn(
             params, state, opt_state,
             jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad),
@@ -188,6 +189,7 @@ if __name__ == "__main__":
     resume = None
     hard = 0.0
     sev = 0.0
+    dot = 0.0
     lr = 3e-4
     for a in sys.argv:
         if a.startswith("--cache="):
@@ -198,8 +200,11 @@ if __name__ == "__main__":
             hard = float(a.split("=")[1])
         if a.startswith("--sev="):
             sev = float(a.split("=")[1])
+        if a.startswith("--dot="):
+            dot = float(a.split("=")[1])
         if a.startswith("--lr="):
             lr = float(a.split("=")[1])
     arch = "t32" if "--t32" in sys.argv else "t64"
     train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
-          resume_from=resume, hard_frac=hard, lr=lr, sev_frac=sev)
+          resume_from=resume, hard_frac=hard, lr=lr, sev_frac=sev,
+          dot_frac=dot)
