@@ -499,3 +499,26 @@ def test_dot_matrix_render_tier():
     a = D.make_batch(2, np.random.default_rng(7))[0]
     b = D.make_batch(2, np.random.default_rng(7), dot_frac=0.0)[0]
     assert np.array_equal(a, b)
+
+
+def test_wide_trunk_roundtrip(tmp_path):
+    """Width-parameterized trunk: widths are recorded in the file and the
+    loader rebuilds the right template (default-width files unaffected)."""
+    import jax
+    import jax.numpy as jnp
+
+    from twinvoice_tpu.ocr.jaxocr.model import crnn_apply, init_crnn
+    from twinvoice_tpu.ocr.jaxocr.train import load_weights_ex, save_weights
+
+    params, state = init_crnn(jax.random.key(2), channels=(48, 96, 144, 192),
+                              context=384)
+    logits, _ = crnn_apply(params, state, jnp.zeros((1, 32, 256, 1)),
+                           arch="t64")
+    assert logits.shape[1] == 64
+    path = str(tmp_path / "wide.npz")
+    save_weights(path, params, state, arch="t64")
+    p2, s2, cs2, a2 = load_weights_ex(path)
+    assert a2 == "t64"
+    a = jax.tree.leaves(params)[0]
+    b = jax.tree.leaves(p2)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

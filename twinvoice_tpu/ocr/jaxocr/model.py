@@ -28,25 +28,29 @@ _CONV_CHANNELS = (32, 64, 96, 128)
 _CONTEXT = 256
 
 
-def init_crnn(key, *, dtype=jnp.float32, num_classes=NUM_CLASSES):
+def init_crnn(key, *, dtype=jnp.float32, num_classes=NUM_CLASSES,
+              channels=_CONV_CHANNELS, context=_CONTEXT):
+    """``channels``/``context`` widen the trunk (the "wide" capacity
+    variant trains CJK glyph classes better); widths are recorded in the
+    weights file so loading is self-describing."""
     keys = iter(jax.random.split(key, 16))
     params = {"conv": [], "bn": [], "ctx": [], "ctx_bn": []}
     state = {"bn": [], "ctx_bn": []}
     cin = 1
-    for c in _CONV_CHANNELS:
+    for c in channels:
         params["conv"].append(init_conv(next(keys), 3, 3, cin, c, dtype=dtype))
         bn_p, bn_s = init_batchnorm(c, dtype=dtype)
         params["bn"].append(bn_p)
         state["bn"].append(bn_s)
         cin = c
-    feat = _CONV_CHANNELS[-1] * (IMG_H // 8)  # height collapsed into features
-    params["proj"] = init_conv(next(keys), 1, 1, feat, _CONTEXT, dtype=dtype)
+    feat = channels[-1] * (IMG_H // 8)  # height collapsed into features
+    params["proj"] = init_conv(next(keys), 1, 1, feat, context, dtype=dtype)
     for _ in range(2):
-        params["ctx"].append(init_conv(next(keys), 1, 5, _CONTEXT, _CONTEXT, dtype=dtype))
-        bn_p, bn_s = init_batchnorm(_CONTEXT, dtype=dtype)
+        params["ctx"].append(init_conv(next(keys), 1, 5, context, context, dtype=dtype))
+        bn_p, bn_s = init_batchnorm(context, dtype=dtype)
         params["ctx_bn"].append(bn_p)
         state["ctx_bn"].append(bn_s)
-    params["head"] = init_conv(next(keys), 1, 1, _CONTEXT, num_classes, dtype=dtype)
+    params["head"] = init_conv(next(keys), 1, 1, context, num_classes, dtype=dtype)
     return params, state
 
 

@@ -77,9 +77,14 @@ def _levenshtein(a: str, b: str) -> int:
 
 def save_weights(out_path, params, state, charset: Charset = DEFAULT,
                  arch="t32"):
-    """Portable flat .npz; embeds the charset AND the pooling arch so the
-    file is self-describing (no device/sharding metadata — loads anywhere)."""
-    flat = {"charset": np.array(charset.chars), "arch": np.array(arch)}
+    """Portable flat .npz; embeds the charset, the pooling arch AND the
+    trunk widths so the file is self-describing (no device/sharding
+    metadata — loads anywhere)."""
+    widths = [int(c["kernel"].shape[-1]) for c in params["conv"]]
+    context = int(params["proj"]["kernel"].shape[-1])
+    flat = {"charset": np.array(charset.chars), "arch": np.array(arch),
+            "channels": np.array(widths, np.int32),
+            "context": np.array(context, np.int32)}
     for prefix, tree in (("p", params), ("s", state)):
         for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
             key = prefix + "/" + jax.tree_util.keystr(path)
@@ -99,8 +104,14 @@ def load_weights_ex(weights_path=DEFAULT_WEIGHTS_PATH):
     with np.load(weights_path) as z:
         charset = Charset(str(z["charset"])) if "charset" in z else Charset(CHARSET)
         arch = str(z["arch"]) if "arch" in z else "t32"
+        from twinvoice_tpu.ocr.jaxocr.model import _CONTEXT, _CONV_CHANNELS
+
+        channels = (tuple(int(c) for c in z["channels"])
+                    if "channels" in z else _CONV_CHANNELS)
+        context = int(z["context"]) if "context" in z else _CONTEXT
         template_p, template_s = init_crnn(
-            jax.random.key(0), num_classes=charset.num_classes
+            jax.random.key(0), num_classes=charset.num_classes,
+            channels=channels, context=context,
         )
 
         def rebuild(prefix, tree):
@@ -117,7 +128,7 @@ def load_weights_ex(weights_path=DEFAULT_WEIGHTS_PATH):
 def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR,
           log=print, charset: Charset = DEFAULT, cache_batches: int = 0,
           arch="t64", resume_from=None, hard_frac: float = 0.0,
-          sev_frac: float = 0.0, dot_frac: float = 0.0):
+          sev_frac: float = 0.0, dot_frac: float = 0.0, wide: bool = False):
     """``cache_batches``: when >0, pre-render that many batches once and
     cycle them (fresh randomness per render). CJK stroke rendering on a
     1-core host otherwise starves the device; eval always uses fresh
@@ -134,8 +145,10 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
             "resume_from arch/charset mismatch")
         log(f"warm-starting from {resume_from}")
     else:
+        kw = ({"channels": (48, 96, 144, 192), "context": 384}
+              if wide else {})
         params, state = init_crnn(jax.random.key(seed),
-                                  num_classes=charset.num_classes)
+                                  num_classes=charset.num_classes, **kw)
     optimizer = optax.adamw(
         optax.warmup_cosine_decay_schedule(0.0, lr, 100, steps), weight_decay=1e-5
     )
@@ -205,6 +218,7 @@ if __name__ == "__main__":
         if a.startswith("--lr="):
             lr = float(a.split("=")[1])
     arch = "t32" if "--t32" in sys.argv else "t64"
+    wide = "--wide" in sys.argv
     train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
           resume_from=resume, hard_frac=hard, lr=lr, sev_frac=sev,
-          dot_frac=dot)
+          dot_frac=dot, wide=wide)
