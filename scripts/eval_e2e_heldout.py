@@ -3,7 +3,7 @@ bound row of BASELINE config 4 (docs/PERFORMANCE.md: r3 measured
 0.6/0.8/0.8 inv/date/amount at n=10; the residual misses are the
 recognizer reading unfamiliar glyph shapes).
 
-Usage: python scripts/eval_e2e_heldout.py [n] [--recognizer path.npz] [--beam]
+Usage: python scripts/eval_e2e_heldout.py [n] [--recognizer path.npz] [--beam] [--dot]
 """
 
 import json
@@ -25,6 +25,7 @@ def main():
     if "--recognizer" in args:
         rec_path = args[args.index("--recognizer") + 1]
     decode = "beam_lm" if "--beam" in args else "greedy"
+    dot = "--dot" in args
 
     from twinvoice_tpu.config import FusionConfig
     from twinvoice_tpu.eval.gauntlet import (
@@ -44,11 +45,12 @@ def main():
     ex = InvoiceExtractor(seg, None, [eng],
                           FusionConfig(auto_rotate=False, use_qr=False))
 
-    bases = make_base_cases(n, use_heldout_fonts=True)
+    bases = make_base_cases(n, use_heldout_fonts=True, dot_print=dot)
     for level in ("clean", "mild"):
         cases = perturb_cases(bases, level, seed=7)
         res = run_e2e_gauntlet(ex, cases)
-        print(json.dumps({"level": f"{level}+heldoutfont", "no_qr": True,
+        print(json.dumps({"level": f"{level}+heldoutfont"
+                          + ("+dotprint" if dot else ""), "no_qr": True,
                           **res}), flush=True)
 
 

@@ -90,8 +90,11 @@ def make_base_cases(
     use_heldout_fonts: bool = False,
     layout_jitter: float = 0.6,
     items: Optional[List[dict]] = None,
+    dot_print: bool = False,
 ) -> List[GauntletCase]:
-    """Render n held-out invoices at native resolution (no perturbation)."""
+    """Render n held-out invoices at native resolution (no perturbation).
+    ``dot_print`` renders the text through the dot-matrix printhead
+    simulation (the physical TW invoice medium)."""
     rng = np.random.default_rng(seed)
     fonts = heldout_fonts() if use_heldout_fonts else train_fonts()
     cases = []
@@ -105,7 +108,7 @@ def make_base_cases(
             items=items or [{"name": "測試品項", "qty": 1, "price": amount}],
             size=(w, h), seed=seed + i,
             font_path=font, font_size=int(rng.integers(18, 27)),
-            layout_jitter=layout_jitter,
+            layout_jitter=layout_jitter, dot_print=dot_print,
         )
         arr = np.asarray(img)
         mask = np.zeros((h, w, 3), np.uint8)
