@@ -47,3 +47,44 @@ def test_two_stacked_convs(mesh, rng):
     np.testing.assert_allclose(
         np.asarray(fn(x, (p1, p2))), np.asarray(dense(x)), atol=1e-5, rtol=1e-5
     )
+
+
+def test_full_unet_spatial_matches_dense(mesh, rng):
+    """VERDICT r4 #4: the WHOLE folded U-Net forward, H-sharded over 8
+    devices with explicit halos, matches the dense single-device output —
+    pool, transpose-conv and skip-concat semantics across shard boundaries
+    included. 256² here (8 shards × local H 32, divisible by 2^4); the
+    serving story is 1024²+ on real chips."""
+    from twinvoice_tpu.config import UNetConfig
+    from twinvoice_tpu.models.unet import fold_unet, init_unet, unet_apply_folded
+    from twinvoice_tpu.parallel.spatial import spatial_unet_forward
+
+    cfg = UNetConfig(base_width=4, depth=4)
+    params, state = init_unet(jax.random.key(3), cfg)
+    folded = fold_unet(params, state, cfg=cfg)
+    x = jnp.asarray(rng.standard_normal((1, 256, 64, 3)), jnp.float32)
+
+    dense = unet_apply_folded(folded, x)
+    sharded = spatial_unet_forward(folded, x, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(dense), atol=2e-4, rtol=2e-4
+    )
+
+
+def test_full_unet_spatial_depth3_uneven_widths(mesh, rng):
+    """Same equivalence at depth 3 and a non-square aspect (regression
+    guard for the halo/pool row-accounting at other depths)."""
+    from twinvoice_tpu.config import UNetConfig
+    from twinvoice_tpu.models.unet import fold_unet, init_unet, unet_apply_folded
+    from twinvoice_tpu.parallel.spatial import spatial_unet_forward
+
+    cfg = UNetConfig(base_width=4, depth=3)
+    params, state = init_unet(jax.random.key(4), cfg)
+    folded = fold_unet(params, state, cfg=cfg)
+    x = jnp.asarray(rng.standard_normal((2, 64, 48, 3)), jnp.float32)
+
+    dense = unet_apply_folded(folded, x)
+    sharded = spatial_unet_forward(folded, x, mesh)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(dense), atol=2e-4, rtol=2e-4
+    )

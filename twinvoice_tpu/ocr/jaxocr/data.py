@@ -112,6 +112,42 @@ def random_hard_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> st
     return f"{name} {rng.integers(1, 9)} {rng.integers(10, 999)}"
 
 
+def random_mixed_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> str:
+    """Training-only mixed-script line sampler (VERDICT r4 #2: mixed-script
+    exact 0.804 is the weakest eval row real receipts exercise on every
+    item line, reference app_camera.py:122-161). Emphasizes the
+    script-boundary shapes the v8 error rows concentrate on: CJK name ↔
+    digit qty/price transitions, ASCII words embedded in CJK labels, and
+    unit suffixes. Never used by eval (the reported mixed row keeps the
+    unchanged random_field_text distribution)."""
+    pool = _cjk_pool(charset)
+    if not pool:
+        return random_field_text(rng, charset)
+    kind = rng.integers(0, 5)
+    if kind == 0:  # vocabulary name + qty + price (the canonical item line)
+        name = _CJK_NAMES[int(rng.integers(0, len(_CJK_NAMES)))]
+        name = "".join(c for c in name if c in charset._to_id) or "品項"
+        return f"{name} {rng.integers(1, 99)} {rng.integers(10, 9999)}"
+    if kind == 1:  # random glyph combo + digits, no separators (dense boundary)
+        name = "".join(rng.choice(pool, int(rng.integers(2, 5))))
+        return f"{name}{rng.integers(10, 999)}"
+    if kind == 2:  # ASCII token inside a CJK label ("全家COFFEE拿鐵")
+        a = "".join(rng.choice(pool, int(rng.integers(1, 3))))
+        word = "".join(rng.choice(list("ABCDEFGHIJKLMNOPQRSTUVWXYZ"),
+                                  int(rng.integers(2, 6))))
+        b = "".join(rng.choice(pool, int(rng.integers(1, 3))))
+        return f"{a}{word}{b}"
+    if kind == 3:  # label: value ("金額: 1,250" / "數量:3")
+        label = "".join(rng.choice(pool, int(rng.integers(2, 4))))
+        amount = int(10 ** rng.uniform(0.5, 4))
+        s = f"{amount:,}" if rng.random() < 0.3 else str(amount)
+        sep = str(rng.choice([": ", ":", " "]))
+        return f"{label}{sep}{s}"
+    # name x qty ("珍珠奶茶 X2" / "咖啡*3")
+    name = "".join(rng.choice(pool, int(rng.integers(2, 5))))
+    return f"{name} {rng.choice(['X', '*', 'x'])}{rng.integers(1, 9)}"
+
+
 def random_field_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> str:
     """Sample a string shaped like one of the three invoice fields (or, when
     the charset covers CJK, like an item-name line ~35% of the time)."""
@@ -313,7 +349,7 @@ def render_line(text: str, rng: np.random.Generator,
 def make_batch(batch_size: int, rng: np.random.Generator,
                charset: Charset = DEFAULT, hard_frac: float = 0.0,
                sev_frac: float = 0.0, sev_hi: float = 1.8,
-               dot_frac: float = 0.0):
+               dot_frac: float = 0.0, mixed_frac: float = 0.0):
     """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts).
 
     ``hard_frac`` > 0 draws that fraction of samples from
@@ -323,7 +359,9 @@ def make_batch(batch_size: int, rng: np.random.Generator,
     U(1.2, ``sev_hi``) — the recognizer severity curriculum (training
     only, same discipline). ``dot_frac`` renders that fraction through the
     :func:`dot_matrix` printhead simulation — the physical TW invoice
-    print medium (training + the dedicated dot-matrix eval tier)."""
+    print medium (training + the dedicated dot-matrix eval tier).
+    ``mixed_frac`` draws that fraction from :func:`random_mixed_text`
+    (training only — the mixed-script curriculum)."""
     imgs = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
     labels = np.zeros((batch_size, MAX_LABEL), np.int32)
     pad = np.ones((batch_size, MAX_LABEL), np.float32)
@@ -331,6 +369,8 @@ def make_batch(batch_size: int, rng: np.random.Generator,
     for i in range(batch_size):
         if hard_frac > 0.0 and rng.random() < hard_frac:
             text = random_hard_text(rng, charset)
+        elif mixed_frac > 0.0 and rng.random() < mixed_frac:
+            text = random_mixed_text(rng, charset)
         else:
             text = random_field_text(rng, charset)
         ids = charset.encode_text(text)[:MAX_LABEL]

@@ -89,21 +89,33 @@ def _group_into_bands(boxes):
 class JaxOcrEngine:
     name = "jaxocr"
 
+    # a line is "certain" when every frame's top-1 beats its top-2 by at
+    # least this many nats — then every surviving CTC path agrees with the
+    # argmax path and beam search cannot change the decode
+    CASCADE_MARGIN = 3.0
+
     def __init__(self, weights_dir: Optional[str] = None, params=None, state=None,
                  charset: Charset = DEFAULT, arch: str = "t32",
-                 decode: str = "greedy"):
-        """``decode``: "greedy" (argmax, the hot-path default) or
-        "beam_lm" — CTC prefix beam search fused with the bundled domain
-        char-LM (charset.beam_ctc_decode + lm.default_lm). beam_lm costs
-        ~10-15 ms/line on this 1-core host, so serving paths keep greedy;
-        accuracy-critical callers (the OCR eval, offline extraction)
-        opt in."""
+                 decode: str = "cascade"):
+        """``decode``: decode policy for text lines.
+
+        - "greedy": per-frame argmax (cheapest; the r1–r4 serving default)
+        - "beam_lm": CTC prefix beam search fused with the bundled domain
+          char-LM (charset.beam_ctc_decode + lm.default_lm) on every line
+        - "cascade" (default): greedy, escalating to beam_lm only on
+          UNCERTAIN lines — any frame whose top-2 posterior is within
+          CASCADE_MARGIN nats of its top-1. Confident lines (clean prints,
+          the overwhelming serving case) decode at greedy cost; degraded
+          lines get the full beam. This makes the published accuracy
+          numbers the served numbers (VERDICT r4 #3) without paying
+          beam cost on every line of every invoice.
+        """
         import jax
 
         self._jax = jax
         self.charset = charset
         self.arch = arch
-        assert decode in ("greedy", "beam_lm"), decode
+        assert decode in ("greedy", "beam_lm", "cascade"), decode
         self.decode = decode
         self._lm = None
         if params is None:
@@ -148,7 +160,13 @@ class JaxOcrEngine:
 
     def _decode_row(self, k, ids, tk_ids, tk_lp, blank_lp) -> str:
         """Decode batch row ``k`` per the engine's decode policy."""
-        if self.decode == "beam_lm":
+        use_beam = self.decode == "beam_lm"
+        if self.decode == "cascade":
+            # escalate only when some frame is ambiguous (top-2 within
+            # CASCADE_MARGIN nats of top-1) — otherwise beam == greedy
+            margin = float(np.min(tk_lp[k, :, 0] - tk_lp[k, :, 1]))
+            use_beam = margin < self.CASCADE_MARGIN
+        if use_beam:
             from twinvoice_tpu.ocr.jaxocr.charset import beam_ctc_decode
             from twinvoice_tpu.ocr.jaxocr.lm import default_lm
 

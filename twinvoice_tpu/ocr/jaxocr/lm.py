@@ -40,6 +40,7 @@ class CharNgramLM:
         # grams[k]: dict ctx(len k) -> (total, dict char -> count)
         self.grams = grams
         self.V = vocab_size
+        self.order = MAX_ORDER  # context length consumers may truncate to
         self._interp = 0.65
         self._smooth = 0.1
         self._cache: dict = {}  # (ctx[-3:], c) -> logp; contexts repeat

@@ -128,7 +128,8 @@ def load_weights_ex(weights_path=DEFAULT_WEIGHTS_PATH):
 def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DIR,
           log=print, charset: Charset = DEFAULT, cache_batches: int = 0,
           arch="t64", resume_from=None, hard_frac: float = 0.0,
-          sev_frac: float = 0.0, dot_frac: float = 0.0, wide: bool = False):
+          sev_frac: float = 0.0, dot_frac: float = 0.0,
+          mixed_frac: float = 0.0, wide: bool = False):
     """``cache_batches``: when >0, pre-render that many batches once and
     cycle them (fresh randomness per render). CJK stroke rendering on a
     1-core host otherwise starves the device; eval always uses fresh
@@ -159,7 +160,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
     if cache_batches:
         t0 = time.time()
         pool = [D.make_batch(batch_size, rng, charset, hard_frac=hard_frac,
-                              sev_frac=sev_frac, dot_frac=dot_frac)[:3]
+                              sev_frac=sev_frac, dot_frac=dot_frac,
+                              mixed_frac=mixed_frac)[:3]
                 for _ in range(cache_batches)]
         log(f"pre-rendered {cache_batches} batches in {time.time()-t0:.0f}s")
 
@@ -171,7 +173,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
             imgs, labels, pad, _ = D.make_batch(batch_size, rng, charset,
                                                 hard_frac=hard_frac,
                                                 sev_frac=sev_frac,
-                                                dot_frac=dot_frac)
+                                                dot_frac=dot_frac,
+                                                mixed_frac=mixed_frac)
         params, state, opt_state, loss = step_fn(
             params, state, opt_state,
             jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad),
@@ -203,6 +206,7 @@ if __name__ == "__main__":
     hard = 0.0
     sev = 0.0
     dot = 0.0
+    mixed = 0.0
     lr = 3e-4
     for a in sys.argv:
         if a.startswith("--cache="):
@@ -215,10 +219,12 @@ if __name__ == "__main__":
             sev = float(a.split("=")[1])
         if a.startswith("--dot="):
             dot = float(a.split("=")[1])
+        if a.startswith("--mixed="):
+            mixed = float(a.split("=")[1])
         if a.startswith("--lr="):
             lr = float(a.split("=")[1])
     arch = "t32" if "--t32" in sys.argv else "t64"
     wide = "--wide" in sys.argv
     train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
           resume_from=resume, hard_frac=hard, lr=lr, sev_frac=sev,
-          dot_frac=dot, wide=wide)
+          dot_frac=dot, mixed_frac=mixed, wide=wide)
