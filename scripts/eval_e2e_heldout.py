@@ -3,7 +3,13 @@ bound row of BASELINE config 4 (docs/PERFORMANCE.md: r3 measured
 0.6/0.8/0.8 inv/date/amount at n=10; the residual misses are the
 recognizer reading unfamiliar glyph shapes).
 
-Usage: python scripts/eval_e2e_heldout.py [n] [--recognizer path.npz] [--beam] [--dot]
+Usage: python scripts/eval_e2e_heldout.py [n] [--recognizer path.npz]
+           [--beam | --greedy] [--dot]
+
+Default decode is "cascade" — the engine's serving default (greedy with
+beam+LM escalation on uncertain lines), so the published e2e numbers are
+the served numbers. --beam forces beam_lm on every line; --greedy forces
+pure greedy (the r1-r4 serving behavior).
 """
 
 import json
@@ -24,7 +30,8 @@ def main():
         n = int(args.pop(0))
     if "--recognizer" in args:
         rec_path = args[args.index("--recognizer") + 1]
-    decode = "beam_lm" if "--beam" in args else "greedy"
+    decode = ("beam_lm" if "--beam" in args
+              else "greedy" if "--greedy" in args else "cascade")
     dot = "--dot" in args
 
     from twinvoice_tpu.config import FusionConfig

@@ -24,13 +24,19 @@ WEIGHTS_DIR = os.path.join(
     "twinvoice_tpu", "models", "weights",
 )
 
+# (level, base-set): "std" = train fonts, "heldout" = held-out fonts,
+# "dot" = dot-matrix printhead rendering (the physical TW invoice medium,
+# VERDICT r4 #7) on train fonts — isolates the print-medium axis
 LEVEL_SETS = [
-    ("clean", False), ("mild", False), ("hard", False),
-    ("clean", True), ("mild", True),
+    ("clean", "std"), ("mild", "std"), ("hard", "std"),
+    ("clean", "heldout"), ("mild", "heldout"),
     # real-photo scenario tiers (eval/gauntlet.SCENARIOS)
-    ("printscan", False), ("screenshot", False),
-    ("crumple", False), ("thermal", False),
+    ("printscan", "std"), ("screenshot", "std"),
+    ("crumple", "std"), ("thermal", "std"),
+    ("clean", "dot"), ("mild", "dot"),
 ]
+
+_BASE_SUFFIX = {"std": "", "heldout": "+heldoutfont", "dot": "+dotprint"}
 
 
 def discover_variants():
@@ -77,12 +83,13 @@ def main():
         return
 
     bases = {
-        False: make_base_cases(args.n, use_heldout_fonts=False),
-        True: make_base_cases(args.n, seed=888_000, use_heldout_fonts=True),
+        "std": make_base_cases(args.n, use_heldout_fonts=False),
+        "heldout": make_base_cases(args.n, seed=888_000, use_heldout_fonts=True),
+        "dot": make_base_cases(args.n, seed=999_000, dot_print=True),
     }
     case_sets = {}
-    for level, heldout in LEVEL_SETS:
-        case_sets[(level, heldout)] = perturb_cases(bases[heldout], level, seed=7)
+    for level, base in LEVEL_SETS:
+        case_sets[(level, base)] = perturb_cases(bases[base], level, seed=7)
 
     def calib_batches(grid, k=8):
         """Clean in-distribution renders, resized to the serving grid —
@@ -91,7 +98,7 @@ def main():
 
         from twinvoice_tpu.eval.gauntlet import _resize_case
 
-        cases = case_sets[("clean", False)][:k]
+        cases = case_sets[("clean", "std")][:k]
         imgs = np.stack([_resize_case(c, grid)[0] for c in cases])
         return [imgs.astype(np.uint8)]
 
@@ -121,8 +128,8 @@ def _eval_variant(name, seg, grid, width, args, case_sets, rows):
     from twinvoice_tpu.eval import run_segmenter_gauntlet, run_e2e_gauntlet
 
     row = {"variant": name, "width": width, "grid": grid}
-    for (level, heldout), cases in case_sets.items():
-        key = f"{level}{'+heldoutfont' if heldout else ''}"
+    for (level, base), cases in case_sets.items():
+        key = f"{level}{_BASE_SUFFIX[base]}"
         res = run_segmenter_gauntlet(seg, cases)
         row[key] = {"iou": round(res["iou_mean"], 3),
                     "box_hit": round(res["box_hit_mean"], 3)}
@@ -139,7 +146,7 @@ def _eval_variant(name, seg, grid, width, args, case_sets, rows):
                 cfg=FusionConfig(use_qr=False, auto_rotate=False),
             )
             for level in ("clean", "mild"):
-                res = run_e2e_gauntlet(ex, case_sets[(level, False)])
+                res = run_e2e_gauntlet(ex, case_sets[(level, "std")])
                 row[f"e2e_{level}"] = res
                 print(json.dumps({"variant": name, "e2e": level, **res}),
                       flush=True)
@@ -147,7 +154,7 @@ def _eval_variant(name, seg, grid, width, args, case_sets, rows):
 
 
 def _print_summary(rows):
-    keys = [f"{lv}{'+heldoutfont' if ho else ''}" for lv, ho in LEVEL_SETS]
+    keys = [f"{lv}{_BASE_SUFFIX[b]}" for lv, b in LEVEL_SETS]
     print("\n| variant | grid | " + " | ".join(f"{k} IoU/hit" for k in keys) + " |")
     print("|" + "---|" * (len(keys) + 2))
     for row in rows:
