@@ -36,14 +36,15 @@ FWD_GFLOP_PER_IMG = 219.0
 BF16_PEAK_TFLOPS = 197.0
 
 
-def bench(dtype_name, batch, iters=6, remat=False):
+def bench(dtype_name, batch, iters=6, remat=False, fast_norm=False):
     from twinvoice_tpu.config import TrainConfig, UNetConfig
     from twinvoice_tpu.models.unet import init_unet
     from twinvoice_tpu.train.trainer import TrainState, make_optimizer, make_train_step
 
     dtype = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     mcfg = UNetConfig()
-    tcfg = TrainConfig(batch_size=batch, dtype=dtype_name, remat=remat)
+    tcfg = TrainConfig(batch_size=batch, dtype=dtype_name, remat=remat,
+                       fast_norm=fast_norm)
     params, bn = init_unet(jax.random.key(0), mcfg)
     opt = make_optimizer(tcfg)
     state = TrainState(params, bn, opt.init(params))
@@ -63,7 +64,7 @@ def bench(dtype_name, batch, iters=6, remat=False):
     dt = (time.perf_counter() - t0) / iters
 
     tflops = 3 * FWD_GFLOP_PER_IMG * batch / dt / 1e3
-    rlabel = " remat" if remat else ""
+    rlabel = (" remat" if remat else "") + (" fastnorm" if fast_norm else "")
     row = {
         "config": f"{dtype_name} bs={batch}{rlabel} @512^2 (fwd+bwd+AdamW, 1 chip)",
         "ms_per_step": round(dt * 1e3, 1),
@@ -148,6 +149,13 @@ def main(iters=6, sweep=False):
             if not try_cfg(f"bf16 bs={batch} remat", "bf16", batch, iters,
                            remat=True):
                 break
+        return
+    if "--fastnorm" in sys.argv:
+        # VERDICT r4 weak #6 lever A/B: bf16 step with the BN normalize in
+        # bf16 (fp32 stats) vs the incumbent fp32-normalize step
+        for fast in (False, True):
+            bench("bf16", 16, iters, fast_norm=fast)
+            bench("bf16", 24, iters, fast_norm=fast)
         return
     for dtype_name, batch in (("fp32", 4), ("bf16", 4), ("bf16", 16)):
         bench(dtype_name, batch, iters)

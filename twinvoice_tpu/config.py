@@ -65,6 +65,9 @@ class TrainConfig:
     dtype: str = "float32"        # "float32" (parity) or "bfloat16" (fast)
     remat: bool = False           # jax.checkpoint each DoubleConv: ~1/3 more
     # FLOPs for a large activation-memory cut (push batch past the HBM edge)
+    fast_norm: bool = False       # BN normalize in the activation dtype
+    # (stats stay fp32): drops the fp32 activation materialization from a
+    # bf16 train step — HBM-traffic lever, only meaningful with bfloat16
     prefetch: int = 2             # host batches prepared ahead on a worker
     # thread (0 = synchronous); overlaps augmentation/H2D with device compute
     sync_every: int = 0           # force a device sync every N steps (0 =

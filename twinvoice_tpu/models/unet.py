@@ -93,18 +93,20 @@ def init_unet(key, cfg: UNetConfig = UNetConfig(), *, dtype=jnp.float32):
 # ---------------------------------------------------------------------------
 
 
-def _double_conv(p, s, x, *, train, momentum, eps):
+def _double_conv(p, s, x, *, train, momentum, eps, fast_norm=False):
     x = conv3x3(x, p["conv1"])
-    x, s1 = batchnorm_apply(x, p["bn1"], s["bn1"], train=train, momentum=momentum, eps=eps)
+    x, s1 = batchnorm_apply(x, p["bn1"], s["bn1"], train=train, momentum=momentum,
+                            eps=eps, norm_in_compute_dtype=fast_norm)
     x = jax.nn.relu(x)
     x = conv3x3(x, p["conv2"])
-    x, s2 = batchnorm_apply(x, p["bn2"], s["bn2"], train=train, momentum=momentum, eps=eps)
+    x, s2 = batchnorm_apply(x, p["bn2"], s["bn2"], train=train, momentum=momentum,
+                            eps=eps, norm_in_compute_dtype=fast_norm)
     x = jax.nn.relu(x)
     return x, {"bn1": s1, "bn2": s2}
 
 
 def unet_apply(params, state, x, *, cfg: UNetConfig = UNetConfig(), train=False,
-               remat=False):
+               remat=False, fast_norm=False):
     """Forward pass. ``x``: (N,H,W,Cin) with H,W divisible by 2^depth.
 
     Returns ``(logits (N,H,W,num_classes), new_state)``.
@@ -114,10 +116,14 @@ def unet_apply(params, state, x, *, cfg: UNetConfig = UNetConfig(), train=False,
     trading ~⅓ more FLOPs for a large activation-memory cut — the standard
     TPU lever for pushing the train batch past the HBM edge (the block
     inputs/skips alone stay resident).
+
+    ``fast_norm=True`` runs the BN normalize in the activation dtype
+    (stats stay fp32) — see ops.norm.batchnorm_apply.
     """
     mom, eps = cfg.bn_momentum, cfg.bn_eps
     def dc(p, s, h):
-        return _double_conv(p, s, h, train=train, momentum=mom, eps=eps)
+        return _double_conv(p, s, h, train=train, momentum=mom, eps=eps,
+                            fast_norm=fast_norm)
 
     if remat:
         dc = jax.checkpoint(dc)

@@ -64,7 +64,8 @@ def make_train_step(model_cfg: UNetConfig, cfg: TrainConfig, optimizer, mesh=Non
     def step(params, bn_state, opt_state, images, masks, lr):
         def loss_fn(p):
             logits, new_bn = unet_apply(p, bn_state, images, cfg=model_cfg,
-                                        train=True, remat=cfg.remat)
+                                        train=True, remat=cfg.remat,
+                                        fast_norm=cfg.fast_norm)
             return invoice_loss(logits, masks, cfg.loss), new_bn
 
         (loss, new_bn), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
