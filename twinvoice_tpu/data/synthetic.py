@@ -106,7 +106,11 @@ def heldout_fonts() -> List[str]:
         _os.path.join(mpl, "STIXGeneralBol.ttf") if mpl else "",
         _os.path.join(mpl, "cmr10.ttf") if mpl else "",
         _os.path.join(mpl, "cmss10.ttf") if mpl else "",
-        _os.path.join(mpl, "DejaVuSerif-Bold.ttf") if mpl else "",
+        # DejaVuSerif-Bold was listed here through r4 — a LEAK: r2 also
+        # added it to train_fonts, so the "held-out" tier partially
+        # measured a trained font. Removed r5 (rows re-measured; the tier
+        # now contains only never-trained families, per the train_fonts
+        # docstring). Disclosed in docs/PARITY.md.
     ]
     try:
         import pygame

@@ -224,7 +224,8 @@ def dot_matrix(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def render_line(text: str, rng: np.random.Generator,
-                sev: float = 1.0, dot: bool = False) -> np.ndarray:
+                sev: float = 1.0, dot: bool = False,
+                synth_style=None) -> np.ndarray:
     """Render text → uint8 grayscale (IMG_H, IMG_W), dark text on light bg.
 
     ``sev`` scales the degradation knobs (probabilities and amplitudes of
@@ -234,6 +235,11 @@ def render_line(text: str, rng: np.random.Generator,
     fraction of samples (severity curriculum, mirroring the segmenter's
     sev-0.8 retrain that lifted its hard tier 0.83→0.92): the v6 error
     ablation pinned ~8 exact-match points on the photometric block alone.
+
+    ``synth_style``: a fonts.latin_glyphs.LatinStyle — render the (ASCII)
+    line in that synthetic parametric typeface instead of a TTF. Training
+    only (the typeface-generalization curriculum, r5): eval callers never
+    pass it, so the held-out-font tiers keep measuring real unseen TTFs.
     """
     from PIL import Image, ImageDraw
 
@@ -255,6 +261,11 @@ def render_line(text: str, rng: np.random.Generator,
             style_rng=rng if rng.random() < 0.7 else None,
             jitter=float(rng.uniform(0.015, 0.05)),
         )
+    elif synth_style is not None:
+        from twinvoice_tpu.ocr.fonts import latin_glyphs
+
+        latin_glyphs.draw_text(draw, (pad, pad), text, size, fill=fill,
+                               style=synth_style)
     elif rng.random() < 0.5:
         # per-char rendering with tracking + baseline jitter (r4): the
         # held-out-font e2e misses are single-glyph shape confusions
@@ -349,7 +360,8 @@ def render_line(text: str, rng: np.random.Generator,
 def make_batch(batch_size: int, rng: np.random.Generator,
                charset: Charset = DEFAULT, hard_frac: float = 0.0,
                sev_frac: float = 0.0, sev_hi: float = 1.8,
-               dot_frac: float = 0.0, mixed_frac: float = 0.0):
+               dot_frac: float = 0.0, mixed_frac: float = 0.0,
+               synth_frac: float = 0.0):
     """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts).
 
     ``hard_frac`` > 0 draws that fraction of samples from
@@ -361,7 +373,10 @@ def make_batch(batch_size: int, rng: np.random.Generator,
     :func:`dot_matrix` printhead simulation — the physical TW invoice
     print medium (training + the dedicated dot-matrix eval tier).
     ``mixed_frac`` draws that fraction from :func:`random_mixed_text`
-    (training only — the mixed-script curriculum)."""
+    (training only — the mixed-script curriculum). ``synth_frac`` renders
+    that fraction of ASCII lines in a random synthetic parametric typeface
+    (fonts.latin_glyphs — the typeface-generalization curriculum,
+    training only)."""
     imgs = np.zeros((batch_size, IMG_H, IMG_W, 1), np.float32)
     labels = np.zeros((batch_size, MAX_LABEL), np.int32)
     pad = np.ones((batch_size, MAX_LABEL), np.float32)
@@ -381,8 +396,15 @@ def make_batch(batch_size: int, rng: np.random.Generator,
         if sev_frac > 0.0 and rng.random() < sev_frac:
             sev = float(rng.uniform(1.2, sev_hi))
         dot = dot_frac > 0.0 and rng.random() < dot_frac
+        style = None
+        if (synth_frac > 0.0 and rng.random() < synth_frac
+                and not any(ord(c) > 0x2E00 for c in text)):
+            from twinvoice_tpu.ocr.fonts import latin_glyphs
+
+            style = latin_glyphs.sample_style(rng)
         imgs[i, :, :, 0] = render_line(
-            text, rng, sev=sev, dot=dot).astype(np.float32) / 255.0
+            text, rng, sev=sev, dot=dot,
+            synth_style=style).astype(np.float32) / 255.0
         labels[i, : len(ids)] = ids
         pad[i, : len(ids)] = 0.0
         texts.append(text)

@@ -129,7 +129,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
           log=print, charset: Charset = DEFAULT, cache_batches: int = 0,
           arch="t64", resume_from=None, hard_frac: float = 0.0,
           sev_frac: float = 0.0, dot_frac: float = 0.0,
-          mixed_frac: float = 0.0, wide: bool = False):
+          mixed_frac: float = 0.0, synth_frac: float = 0.0,
+          wide: bool = False):
     """``cache_batches``: when >0, pre-render that many batches once and
     cycle them (fresh randomness per render). CJK stroke rendering on a
     1-core host otherwise starves the device; eval always uses fresh
@@ -161,7 +162,7 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
         t0 = time.time()
         pool = [D.make_batch(batch_size, rng, charset, hard_frac=hard_frac,
                               sev_frac=sev_frac, dot_frac=dot_frac,
-                              mixed_frac=mixed_frac)[:3]
+                              mixed_frac=mixed_frac, synth_frac=synth_frac)[:3]
                 for _ in range(cache_batches)]
         log(f"pre-rendered {cache_batches} batches in {time.time()-t0:.0f}s")
 
@@ -174,7 +175,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
                                                 hard_frac=hard_frac,
                                                 sev_frac=sev_frac,
                                                 dot_frac=dot_frac,
-                                                mixed_frac=mixed_frac)
+                                                mixed_frac=mixed_frac,
+                                                synth_frac=synth_frac)
         params, state, opt_state, loss = step_fn(
             params, state, opt_state,
             jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad),
@@ -207,6 +209,7 @@ if __name__ == "__main__":
     sev = 0.0
     dot = 0.0
     mixed = 0.0
+    synth = 0.0
     lr = 3e-4
     for a in sys.argv:
         if a.startswith("--cache="):
@@ -221,10 +224,12 @@ if __name__ == "__main__":
             dot = float(a.split("=")[1])
         if a.startswith("--mixed="):
             mixed = float(a.split("=")[1])
+        if a.startswith("--synth="):
+            synth = float(a.split("=")[1])
         if a.startswith("--lr="):
             lr = float(a.split("=")[1])
     arch = "t32" if "--t32" in sys.argv else "t64"
     wide = "--wide" in sys.argv
     train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
           resume_from=resume, hard_frac=hard, lr=lr, sev_frac=sev,
-          dot_frac=dot, mixed_frac=mixed, wide=wide)
+          dot_frac=dot, mixed_frac=mixed, synth_frac=synth, wide=wide)
