@@ -361,8 +361,12 @@ class JaxOcrEngine:
                 if t:
                     cands.append((t, c))
             base_digits = sum(ch.isdigit() for ch in out[i].text)
-            if not out[i].text or base_digits < len(out[i].text) * 0.6:
+            base_num = "".join(ch for ch in out[i].text if ch.isdigit())
+            if (not out[i].text or base_digits < len(out[i].text) * 0.6
+                    or base_num.startswith("0")):
                 # base greedy read wouldn't even qualify for the vote —
+                # or reads a leading-zero amount, which the domain forbids
+                # (a classic CTC leading-digit deletion: '10335'→'0335') —
                 # let the pattern-constrained re-read of the same frames
                 # stand in for it (when base is already digit-clean the
                 # constrained read would just duplicate it and
@@ -376,6 +380,8 @@ class JaxOcrEngine:
                 digits = sum(ch.isdigit() for ch in t)
                 if digits == 0 or digits < len(t) * 0.6:
                     continue  # non-digit-dominant reads don't get a vote
+                if "".join(ch for ch in t if ch.isdigit()).startswith("0"):
+                    continue  # leading-zero amounts are domain-invalid
                 scores[t] = scores.get(t, 0.0) + c
             if scores:
                 best = max(scores, key=lambda t: scores[t])
