@@ -404,11 +404,68 @@ class JaxOcrEngine:
                   else r"\d{4}[-/.]\d{2}[-/.]\d{1,2}")
             if out[i].text and re.search(rx, out[i].text.upper()):
                 continue  # greedy read is already well-formed
+            cand = None
             cc = self._constrained(chosen_row[i], mode,
-                                   tk_ids, tk_lp, blank_lp)
+                                   tk_ids, tk_lp, blank_lp,
+                                   greedy_text=out[i].text)
             if cc is not None:
-                out[i] = OcrResult(cc[0], self.name, confidence=cc[1])
+                cand = (cc[1], cc[0])
+            # lazy variant rescue (r5, the dot-print failure mode): bolder
+            # ink / slight blur fuse printhead dots into strokes; only
+            # runs when the base read is format-invalid, so the clean hot
+            # path pays nothing
+            resc = self._variant_rescue(images[i], mode, rx)
+            if resc is not None and (cand is None or resc > cand):
+                cand = resc
+            if cand is not None:
+                out[i] = OcrResult(cand[1], self.name,
+                                   confidence=min(cand[0], 1.0))
         return out
+
+    def _variant_rescue(self, image, mode, rx):
+        """Re-read a format-failing rigid-format crop under two source
+        transforms at model resolution — morphological bold (erode) and a
+        light Gaussian blur. Both fuse dot-matrix printhead dots into
+        continuous strokes (measured on the dot tier: blur alone reads
+        +3 pts over base; the any-of-3 oracle is +8). Returns
+        ``(score, text)`` — score >1 for a direct format-valid read
+        (outranks any constrained path), else the constrained decode's
+        margin pseudo-confidence — or None."""
+        if image is None:
+            return None
+        import re
+
+        import cv2
+        import jax.numpy as jnp
+
+        base = prepare_crop(image)
+        if base is None:
+            return None
+        u8 = (base * 255.0).astype(np.uint8)
+        variants = [
+            cv2.erode(u8, np.ones((2, 2), np.uint8)),
+            cv2.GaussianBlur(u8, (3, 3), 0.8),
+        ]
+        x = np.stack(variants).astype(np.float32)[..., None] / 255.0
+        ids, conf, tk_ids, tk_lp, blank_lp = self._infer(
+            self._params, self._state, jnp.asarray(x)
+        )
+        ids, conf = np.asarray(ids), np.asarray(conf)
+        tk_ids, tk_lp = np.asarray(tk_ids), np.asarray(tk_lp)
+        blank_lp = np.asarray(blank_lp)
+        best = None
+        for r in range(len(variants)):
+            t = self._decode_row(r, ids, tk_ids, tk_lp, blank_lp)
+            m = re.search(rx, t.upper()) if t else None
+            if m:
+                cand = (1.0 + float(conf[r]), m.group(0))
+            else:
+                cc = self._constrained(r, mode, tk_ids, tk_lp, blank_lp,
+                                       greedy_text=t)
+                cand = (cc[1], cc[0]) if cc is not None else None
+            if cand is not None and (best is None or cand > best):
+                best = cand
+        return best
 
     # margin (nats) by which a pattern-constrained path may trail the
     # unconstrained greedy path before it is rejected as a fabrication
@@ -416,9 +473,32 @@ class JaxOcrEngine:
     # greedy path; a one-confusion fix scores just below it)
     CONSTRAINED_TAU = 20.0
 
-    def _constrained(self, row, mode, tk_ids, tk_lp, blank_lp):
+    # shape-identical letter/digit pairs (dot-matrix print breaks strokes,
+    # so these collapse visually): a constrained decode that differs from
+    # the greedy read ONLY through this map is a domain reinterpretation
+    # of the same glyphs, not a fabrication — accepted past the margin
+    _HOMOGLYPH_PAIRS = frozenset(map(frozenset, (
+        "O0", "I1", "S5", "B8", "Z2", "G6", "D0", "Q0", "L1", "A4", "T7",
+    )))
+
+    @classmethod
+    def _homoglyph_equal(cls, a: str, b: str) -> bool:
+        a = a.replace(" ", "").replace("-", "").upper()
+        b = b.replace(" ", "").replace("-", "").upper()
+        if len(a) != len(b):
+            return False
+        return all(
+            x == y or frozenset((x, y)) in cls._HOMOGLYPH_PAIRS
+            for x, y in zip(a, b)
+        )
+
+    def _constrained(self, row, mode, tk_ids, tk_lp, blank_lp,
+                     greedy_text=None):
         """Pattern-constrained decode of batch row ``row``; returns
-        (text, pseudo_confidence) or None (no valid path / margin fail)."""
+        (text, pseudo_confidence) or None (no valid path / margin fail).
+        ``greedy_text``: the row's unconstrained read — a constrained
+        result that is a pure homoglyph reinterpretation of it bypasses
+        the margin gate (see _HOMOGLYPH_PAIRS)."""
         if row is None:
             return None
         from twinvoice_tpu.ocr.jaxocr.charset import (
@@ -434,7 +514,8 @@ class JaxOcrEngine:
             return None
         greedy_lp = float(tk_lp[row, :, 0].sum())
         if path_lp < greedy_lp - self.CONSTRAINED_TAU:
-            return None
+            if not (greedy_text and self._homoglyph_equal(text, greedy_text)):
+                return None
         T = tk_ids.shape[1]
         return text, float(np.exp((path_lp - greedy_lp) / T))
 

@@ -130,11 +130,20 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
           arch="t64", resume_from=None, hard_frac: float = 0.0,
           sev_frac: float = 0.0, dot_frac: float = 0.0,
           mixed_frac: float = 0.0, synth_frac: float = 0.0,
-          wide: bool = False):
+          wide: bool = False, refresh: bool = False):
     """``cache_batches``: when >0, pre-render that many batches once and
     cycle them (fresh randomness per render). CJK stroke rendering on a
     1-core host otherwise starves the device; eval always uses fresh
     batches, so the reported accuracy is not memorization.
+
+    ``refresh``: with a cache, run a daemon thread that continuously
+    re-renders random pool entries in place while the device trains.
+    Diagnosis (r5): long cached runs drive the TRAIN loss to ~0.001 —
+    the model memorizes the 32k-sample pool and extra capacity stops
+    paying (the wide-trunk A/B converged barely above its 40k point).
+    The refresher cycles the whole pool every ~2 minutes, so the
+    effective dataset is unbounded again while the device never waits
+    on the renderer (PIL/cv2/numpy release the GIL).
 
     ``hard_frac``: fraction of TRAINING samples drawn from the
     :func:`data.random_hard_text` failure-taxonomy sampler (O/0-dense
@@ -158,6 +167,7 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
     step_fn = make_train_step(optimizer, arch=arch)
 
     pool = None
+    stop_refresh: list = []
     if cache_batches:
         t0 = time.time()
         pool = [D.make_batch(batch_size, rng, charset, hard_frac=hard_frac,
@@ -165,6 +175,22 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
                               mixed_frac=mixed_frac, synth_frac=synth_frac)[:3]
                 for _ in range(cache_batches)]
         log(f"pre-rendered {cache_batches} batches in {time.time()-t0:.0f}s")
+        if refresh:
+            import threading
+
+            def _refresher():
+                rr = np.random.default_rng(seed + 987_654)
+                renders = 0
+                while not stop_refresh:
+                    i = int(rr.integers(0, len(pool)))
+                    pool[i] = D.make_batch(
+                        batch_size, rr, charset, hard_frac=hard_frac,
+                        sev_frac=sev_frac, dot_frac=dot_frac,
+                        mixed_frac=mixed_frac, synth_frac=synth_frac)[:3]
+                    renders += 1
+
+            threading.Thread(target=_refresher, daemon=True).start()
+            log("cache refresher running (continuous in-place re-render)")
 
     t0 = time.time()
     for it in range(1, steps + 1):
@@ -187,6 +213,7 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
             # periodic snapshot: a multi-hour CPU run must survive a kill
             save_weights(out_dir, params, state, charset, arch=arch)
             log(f"snapshot saved at step {it}")
+    stop_refresh.append(True)
     acc, cer = evaluate(params, state, np.random.default_rng(seed + 1),
                         charset=charset, arch=arch)
     log(f"eval: exact={acc:.3f} cer={cer:.4f}")
@@ -232,4 +259,5 @@ if __name__ == "__main__":
     wide = "--wide" in sys.argv
     train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
           resume_from=resume, hard_frac=hard, lr=lr, sev_frac=sev,
-          dot_frac=dot, mixed_frac=mixed, synth_frac=synth, wide=wide)
+          dot_frac=dot, mixed_frac=mixed, synth_frac=synth, wide=wide,
+          refresh="--refresh" in sys.argv)
