@@ -327,7 +327,27 @@ def render_line(text: str, rng: np.random.Generator,
     img = np.asarray(out, np.float32)
 
     if dot:
-        img = dot_matrix(img, rng)
+        # Glyph-relative dot-scale randomization (r5). The printhead pitch
+        # is fixed in PAPER pixels, not glyph pixels: e2e invoices
+        # (data/synthetic.py render_invoice, font_size 18-27 → glyph
+        # 13-20 px) carry ~5-8 dots per glyph height, while this canvas
+        # renders glyphs at ~28 px (~9-14 dots). Measured consequence of
+        # training at canvas scale only: v8 reads GT dot-print field
+        # crops at 0.24-0.44 exact (scripts/diag_dot_e2e.py) while its
+        # same-scale line eval says 0.70. Dotting at a random downscale
+        # and resizing back with the same interpolation the serving
+        # prepare_crop uses (INTER_LINEAR upscale, engine.py) covers the
+        # whole physical pitch-to-glyph range.
+        import cv2
+
+        s = float(rng.uniform(0.45, 1.0))
+        if s < 0.97:
+            sw, sh = max(8, int(IMG_W * s)), max(8, int(IMG_H * s))
+            small = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_AREA)
+            img = cv2.resize(dot_matrix(small, rng), (IMG_W, IMG_H),
+                             interpolation=cv2.INTER_LINEAR)
+        else:
+            img = dot_matrix(img, rng)
 
     if rng.random() < min(0.85, 0.4 * sev):
         # low-frequency elastic warp (r4): smooth ±1px displacement field
