@@ -179,7 +179,8 @@ def constrained_ctc_decode(charset: Charset, topk_ids, topk_logp, blank_logp,
 
 def beam_ctc_decode(charset: Charset, topk_ids, topk_logp, blank_logp,
                     width: int = 8, lm=None, alpha: float = 0.4,
-                    beta: float = 0.3, prune: float = 12.0):
+                    beta: float = 0.3, prune: float = 12.0,
+                    alpha_cjk: float = 0.1):
     """CTC prefix beam search over per-frame top-K posteriors, optionally
     fused with a character language model.
 
@@ -199,6 +200,15 @@ def beam_ctc_decode(charset: Charset, topk_ids, topk_logp, blank_logp,
     probs; ``blank_logp``: (T,) exact blank log prob (blank may fall
     outside the top-K). Returns ``(text, logp)`` of the best prefix
     (logp includes the LM term when fused).
+
+    ``alpha_cjk``: the LM weight applied to CJK-character extensions
+    (``ord(ch) > 0x2E00``) instead of ``alpha``. The 4-gram's value lives
+    in the RIGID ASCII field formats (dates, ``[A-Z]{2}\\d{8}``, amounts);
+    over CJK its mass concentrates on the vocabulary item names, so full-
+    weight fusion pulls an uncertain but correctly-read random glyph
+    toward a vocabulary glyph — measured on v11 as mixed-tier beam 0.845
+    UNDER greedy 0.866 at ``alpha_cjk=alpha``. Down-weighting CJK fusion
+    keeps the ASCII gains and removes the CJK penalty.
 
     ``prune``: per-frame candidates more than this many nats below the
     frame's best option are dropped, and frames whose best non-blank
@@ -267,7 +277,8 @@ def beam_ctc_decode(charset: Charset, topk_ids, topk_logp, blank_logp,
             for cid, lp, ch in cands:
                 ext_lms = lms
                 if lm is not None and (cid != last or pb > NEG):
-                    ext_lms = lms + alpha * lm.logp(ctx, ch) + beta
+                    a = alpha_cjk if ord(ch) > 0x2E00 else alpha
+                    ext_lms = lms + a * lm.logp(ctx, ch) + beta
                 ext_ctx = (ctx + ch)[-ctx_keep:]
                 if cid == last:
                     # same char again w/o blank collapses (stay on prefix);
