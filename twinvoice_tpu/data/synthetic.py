@@ -313,7 +313,14 @@ def render_invoice(
         from twinvoice_tpu.ocr.jaxocr.data import dot_matrix
 
         gray = np.asarray(img.convert("L"), np.float32)
-        dotted = dot_matrix(gray, rng).astype(np.uint8)
+        # pitch=2: this renderer's value glyphs are 13-19 px cap height
+        # (font_size 18-27), so 2 px pitch = 6.5-9.5 dots/glyph — the
+        # 9-pin draft printhead regime. The pre-r5 unpinned pitch drew
+        # 3 px dots on the same glyphs half the time (4-6 gapped
+        # dots/glyph): a printer that does not physically exist, and
+        # visibly beyond human legibility (see dot_matrix's calibration
+        # note in ocr/jaxocr/data.py).
+        dotted = dot_matrix(gray, rng, pitch=2).astype(np.uint8)
         img = Image.fromarray(np.stack([dotted] * 3, axis=-1))
         draw = ImageDraw.Draw(img)
 

@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import glob
 from functools import lru_cache
-from typing import List
+from typing import List, Optional
 
 import numpy as np
 
@@ -190,9 +190,10 @@ def random_field_text(rng: np.random.Generator, charset: Charset = DEFAULT) -> s
     return "".join(rng.choice(list(CHARSET.strip() + "  "), n)).strip() or "X"
 
 
-def dot_matrix(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+def dot_matrix(img: np.ndarray, rng: np.random.Generator,
+               pitch: Optional[int] = None) -> np.ndarray:
     """Re-print a rendered line through a simulated dot-matrix/thermal
-    printhead: ink is grid-sampled at a 2-3 px pitch and re-drawn as
+    printhead: ink is grid-sampled at ``pitch`` px and re-drawn as
     discrete dots with per-dot intensity jitter and row banding.
 
     Physical TW paper invoices (the duplicate uniform invoice the
@@ -200,9 +201,22 @@ def dot_matrix(img: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     pretrained envelope covers that medium implicitly
     (reference app_camera.py:73). Training on this transform gives
     jaxocr the same coverage without any printed-sample data.
+
+    Physical calibration (r5): a printer's dot count per character is
+    printhead-FIXED — a 9-pin head prints ~7-9 dots per cap height in
+    draft (adjacent wires touching), NLQ double-pass and 203 dpi thermal
+    heads ~14-24 — and the head also sets the MINIMUM character size, so
+    sub-~6.5 dots-per-glyph renders model a printer that does not exist.
+    Callers therefore pick ``pitch`` from their glyph height: pass
+    ``pitch=2`` for glyphs under ~21 px (render_invoice's 13-19 px cap
+    heights → 6.5-9.5 dots/glyph, the 9-pin draft regime); the default
+    (pitch 2 or 3 at this module's 28 px canvas glyphs) spans 9-14
+    dots/glyph. Uncalibrated pitch-3 dots on 13 px glyphs (4-6 gapped
+    dots/glyph) rendered the pre-r5 e2e dot tier beyond-physical — and
+    visibly beyond HUMAN legibility (docs/STATUS_R5.md).
     """
     H, W = img.shape
-    pitch = int(rng.integers(2, 4))
+    pitch = int(rng.integers(2, 4)) if pitch is None else int(pitch)
     ink = 255.0 - img
     gh, gw = H // pitch, W // pitch
     cells = ink[: gh * pitch, : gw * pitch].reshape(
@@ -330,24 +344,28 @@ def render_line(text: str, rng: np.random.Generator,
         # Glyph-relative dot-scale randomization (r5). The printhead pitch
         # is fixed in PAPER pixels, not glyph pixels: e2e invoices
         # (data/synthetic.py render_invoice, font_size 18-27 → glyph
-        # 13-20 px) carry ~5-8 dots per glyph height, while this canvas
-        # renders glyphs at ~28 px (~9-14 dots). Measured consequence of
-        # training at canvas scale only: v8 reads GT dot-print field
-        # crops at 0.24-0.44 exact (scripts/diag_dot_e2e.py) while its
-        # same-scale line eval says 0.70. Dotting at a random downscale
-        # and resizing back with the same interpolation the serving
-        # prepare_crop uses (INTER_LINEAR upscale, engine.py) covers the
-        # whole physical pitch-to-glyph range.
+        # 13-20 px) carry fewer dots per glyph than this ~28 px canvas.
+        # Measured consequence of training at canvas scale only: v8 reads
+        # GT dot-print field crops at 0.24-0.44 exact
+        # (scripts/diag_dot_e2e.py) while its same-scale line eval says
+        # 0.70. Dotting at a random downscale and resizing back with the
+        # same interpolation the serving prepare_crop uses (INTER_LINEAR
+        # upscale, engine.py) covers the physical pitch-to-glyph range —
+        # bounded below at ~6.5 dots per glyph height, the 9-pin draft
+        # floor (see dot_matrix's physical calibration note): with glyphs
+        # at 28*s px, dots/glyph = 28*s/pitch, so s_min = 6.5*pitch/28.
         import cv2
 
-        s = float(rng.uniform(0.45, 1.0))
+        pitch = int(rng.integers(2, 4))
+        s = float(rng.uniform(min(1.0, 6.5 * pitch / 28.0), 1.0))
         if s < 0.97:
             sw, sh = max(8, int(IMG_W * s)), max(8, int(IMG_H * s))
             small = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_AREA)
-            img = cv2.resize(dot_matrix(small, rng), (IMG_W, IMG_H),
+            img = cv2.resize(dot_matrix(small, rng, pitch=pitch),
+                             (IMG_W, IMG_H),
                              interpolation=cv2.INTER_LINEAR)
         else:
-            img = dot_matrix(img, rng)
+            img = dot_matrix(img, rng, pitch=pitch)
 
     if rng.random() < min(0.85, 0.4 * sev):
         # low-frequency elastic warp (r4): smooth ±1px displacement field
