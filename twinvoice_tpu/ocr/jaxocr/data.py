@@ -373,7 +373,7 @@ def render_line(text: str, rng: np.random.Generator,
         # skeletons (serif/sans stroke-shape differences)
         import cv2
 
-        amp = float(rng.uniform(0.5, 1.3 * sev))
+        amp = float(rng.uniform(0.5, max(0.51, 1.3 * sev)))
         gx = cv2.resize(rng.normal(0, amp, (4, 16)).astype(np.float32),
                         (IMG_W, IMG_H), interpolation=cv2.INTER_CUBIC)
         gy = cv2.resize(rng.normal(0, 0.8 * amp, (4, 16)).astype(np.float32),
