@@ -501,6 +501,24 @@ def test_dot_matrix_render_tier():
     assert np.array_equal(a, b)
 
 
+def test_dot_hard_band():
+    """``dot_hard`` samples the 9-pin draft band (training-only): every
+    draw lands at <= 9.5 dots/glyph, and the default dot path must be
+    byte-identical with dot_hard_frac=0 (same rng consumption)."""
+    from twinvoice_tpu.ocr.jaxocr import data as D
+
+    img = D.render_line("AB12345678", np.random.default_rng(2), dot=True,
+                        dot_hard=True)
+    assert img.shape == (D.IMG_H, D.IMG_W) and (img < 200).sum() > 50
+    imgs, _, _, texts = D.make_batch(
+        4, np.random.default_rng(3), dot_frac=1.0, dot_hard_frac=1.0)
+    assert imgs.shape[0] == 4 and all(texts)
+    a = D.make_batch(2, np.random.default_rng(9), dot_frac=1.0)[0]
+    b = D.make_batch(2, np.random.default_rng(9), dot_frac=1.0,
+                     dot_hard_frac=0.0)[0]
+    assert np.array_equal(a, b)
+
+
 def test_wide_trunk_roundtrip(tmp_path):
     """Width-parameterized trunk: widths are recorded in the file and the
     loader rebuilds the right template (default-width files unaffected)."""

@@ -239,7 +239,7 @@ def dot_matrix(img: np.ndarray, rng: np.random.Generator,
 
 def render_line(text: str, rng: np.random.Generator,
                 sev: float = 1.0, dot: bool = False,
-                synth_style=None) -> np.ndarray:
+                synth_style=None, dot_hard: bool = False) -> np.ndarray:
     """Render text → uint8 grayscale (IMG_H, IMG_W), dark text on light bg.
 
     ``sev`` scales the degradation knobs (probabilities and amplitudes of
@@ -357,7 +357,17 @@ def render_line(text: str, rng: np.random.Generator,
         import cv2
 
         pitch = int(rng.integers(2, 4))
-        s = float(rng.uniform(min(1.0, 6.5 * pitch / 28.0), 1.0))
+        if dot_hard:
+            # training-only emphasis (``dot_hard_frac``): sample dots-per-
+            # glyph directly in the 9-pin DRAFT band (6.5-9.5 dots/glyph)
+            # — the physical regime the e2e invoices render (pitch 2,
+            # glyph 13-20 px) and where the v12 per-scale sweep shows the
+            # accuracy collapse. Eval callers never pass it, so the
+            # reported --dot tier distribution is unchanged.
+            dpg = float(rng.uniform(6.5, 9.5))
+            s = min(1.0, dpg * pitch / 28.0)
+        else:
+            s = float(rng.uniform(min(1.0, 6.5 * pitch / 28.0), 1.0))
         if s < 0.97:
             sw, sh = max(8, int(IMG_W * s)), max(8, int(IMG_H * s))
             small = cv2.resize(img, (sw, sh), interpolation=cv2.INTER_AREA)
@@ -399,7 +409,7 @@ def make_batch(batch_size: int, rng: np.random.Generator,
                charset: Charset = DEFAULT, hard_frac: float = 0.0,
                sev_frac: float = 0.0, sev_hi: float = 1.8,
                dot_frac: float = 0.0, mixed_frac: float = 0.0,
-               synth_frac: float = 0.0):
+               synth_frac: float = 0.0, dot_hard_frac: float = 0.0):
     """→ (images (B,H,W,1) float[0,1], labels (B,MAX) int32, label_pad (B,MAX) f32, texts).
 
     ``hard_frac`` > 0 draws that fraction of samples from
@@ -410,7 +420,9 @@ def make_batch(batch_size: int, rng: np.random.Generator,
     only, same discipline). ``dot_frac`` renders that fraction through the
     :func:`dot_matrix` printhead simulation — the physical TW invoice
     print medium (training + the dedicated dot-matrix eval tier).
-    ``mixed_frac`` draws that fraction from :func:`random_mixed_text`
+    ``dot_hard_frac`` renders that fraction OF the dot samples in the
+    9-pin draft band (6.5-9.5 dots/glyph — the e2e physical regime;
+    training only). ``mixed_frac`` draws that fraction from :func:`random_mixed_text`
     (training only — the mixed-script curriculum). ``synth_frac`` renders
     that fraction of ASCII lines in a random synthetic parametric typeface
     (fonts.latin_glyphs — the typeface-generalization curriculum,
@@ -434,6 +446,7 @@ def make_batch(batch_size: int, rng: np.random.Generator,
         if sev_frac > 0.0 and rng.random() < sev_frac:
             sev = float(rng.uniform(1.2, sev_hi))
         dot = dot_frac > 0.0 and rng.random() < dot_frac
+        dhard = dot and dot_hard_frac > 0.0 and rng.random() < dot_hard_frac
         style = None
         if (synth_frac > 0.0 and rng.random() < synth_frac
                 and not any(ord(c) > 0x2E00 for c in text)):
@@ -442,7 +455,7 @@ def make_batch(batch_size: int, rng: np.random.Generator,
             style = latin_glyphs.sample_style(rng)
         imgs[i, :, :, 0] = render_line(
             text, rng, sev=sev, dot=dot,
-            synth_style=style).astype(np.float32) / 255.0
+            synth_style=style, dot_hard=dhard).astype(np.float32) / 255.0
         labels[i, : len(ids)] = ids
         pad[i, : len(ids)] = 0.0
         texts.append(text)

@@ -130,6 +130,7 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
           arch="t64", resume_from=None, hard_frac: float = 0.0,
           sev_frac: float = 0.0, dot_frac: float = 0.0,
           mixed_frac: float = 0.0, synth_frac: float = 0.0,
+          dot_hard_frac: float = 0.0,
           wide: bool = False, refresh: bool = False):
     """``cache_batches``: when >0, pre-render that many batches once and
     cycle them (fresh randomness per render). CJK stroke rendering on a
@@ -172,7 +173,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
         t0 = time.time()
         pool = [D.make_batch(batch_size, rng, charset, hard_frac=hard_frac,
                               sev_frac=sev_frac, dot_frac=dot_frac,
-                              mixed_frac=mixed_frac, synth_frac=synth_frac)[:3]
+                              mixed_frac=mixed_frac, synth_frac=synth_frac,
+                        dot_hard_frac=dot_hard_frac)[:3]
                 for _ in range(cache_batches)]
         log(f"pre-rendered {cache_batches} batches in {time.time()-t0:.0f}s")
         if refresh:
@@ -186,7 +188,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
                     pool[i] = D.make_batch(
                         batch_size, rr, charset, hard_frac=hard_frac,
                         sev_frac=sev_frac, dot_frac=dot_frac,
-                        mixed_frac=mixed_frac, synth_frac=synth_frac)[:3]
+                        mixed_frac=mixed_frac, synth_frac=synth_frac,
+                        dot_hard_frac=dot_hard_frac)[:3]
                     renders += 1
 
             threading.Thread(target=_refresher, daemon=True).start()
@@ -202,7 +205,8 @@ def train(steps=3000, batch_size=64, lr=3e-4, seed=0, out_dir=DEFAULT_WEIGHTS_DI
                                                 sev_frac=sev_frac,
                                                 dot_frac=dot_frac,
                                                 mixed_frac=mixed_frac,
-                                                synth_frac=synth_frac)
+                                                synth_frac=synth_frac,
+                                                dot_hard_frac=dot_hard_frac)
         params, state, opt_state, loss = step_fn(
             params, state, opt_state,
             jnp.asarray(imgs), jnp.asarray(labels), jnp.asarray(pad),
@@ -235,6 +239,7 @@ if __name__ == "__main__":
     hard = 0.0
     sev = 0.0
     dot = 0.0
+    dothard = 0.0
     mixed = 0.0
     synth = 0.0
     lr = 3e-4
@@ -249,6 +254,8 @@ if __name__ == "__main__":
             sev = float(a.split("=")[1])
         if a.startswith("--dot="):
             dot = float(a.split("=")[1])
+        if a.startswith("--dothard="):
+            dothard = float(a.split("=")[1])
         if a.startswith("--mixed="):
             mixed = float(a.split("=")[1])
         if a.startswith("--synth="):
@@ -260,4 +267,4 @@ if __name__ == "__main__":
     train(steps=n, out_dir=out, charset=cs, cache_batches=cache, arch=arch,
           resume_from=resume, hard_frac=hard, lr=lr, sev_frac=sev,
           dot_frac=dot, mixed_frac=mixed, synth_frac=synth, wide=wide,
-          refresh="--refresh" in sys.argv)
+          dot_hard_frac=dothard, refresh="--refresh" in sys.argv)
